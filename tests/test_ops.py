@@ -1,0 +1,146 @@
+"""Unit tests for the tap-matmul conv primitives against torch ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from wiflow_tpu.ops.conv import (
+    causal_grouped_conv1d, conv1x1_2d, conv1xk_w, conv3x3_2d, pointwise_conv1d,
+)
+from wiflow_tpu.ops.norm import batch_norm_eval, batch_norm_train
+
+RTOL = 1e-5
+ATOL = 1e-5
+
+
+@pytest.mark.parametrize("cin,cout,dilation,groups", [
+    (540, 540, 1, 20), (440, 440, 2, 20), (40, 40, 4, 4),
+])
+def test_causal_grouped_conv1d_matches_torch(cin, cout, dilation, groups):
+    """Grouped conv + chomp (ref tcn.py:20-23,6-12) == left-pad tap matmuls."""
+    rng = np.random.default_rng(0)
+    b, t, k = 3, 20, 3
+    x = rng.standard_normal((b, cin, t)).astype(np.float32)
+
+    conv = nn.Conv1d(cin, cout, k, padding=(k - 1) * dilation,
+                     dilation=dilation, groups=groups, bias=False)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x))[:, :, :-(k - 1) * dilation].numpy()
+
+    w = conv.weight.detach().numpy()  # (Co, Ci/g, K)
+    co_g = cout // groups
+    w_ours = w.reshape(groups, co_g, cin // groups, k).transpose(3, 0, 2, 1)
+
+    x_ours = x.transpose(0, 2, 1).reshape(b, t, groups, cin // groups)
+    out = causal_grouped_conv1d(jnp.asarray(x_ours), jnp.asarray(w_ours),
+                                dilation=dilation)
+    out = np.asarray(out).reshape(b, t, cout).transpose(0, 2, 1)
+    np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_pointwise_conv1d_matches_torch():
+    rng = np.random.default_rng(1)
+    b, t, ci, co = 4, 20, 540, 440
+    x = rng.standard_normal((b, ci, t)).astype(np.float32)
+    conv = nn.Conv1d(ci, co, 1, bias=False)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x)).numpy()
+    w = conv.weight.detach().numpy()[:, :, 0].T
+    out = pointwise_conv1d(jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref,
+                               rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("stride,w_in", [(1, 240), (2, 240), (2, 30)])
+def test_conv1xk_matches_torch(stride, w_in):
+    """(1,3) conv with stride (1,s) pad (0,1) (ref convnet.py:11-17)."""
+    rng = np.random.default_rng(2)
+    b, h, ci, co = 2, 20, 8, 16
+    x = rng.standard_normal((b, ci, h, w_in)).astype(np.float32)
+    conv = nn.Conv2d(ci, co, kernel_size=(1, 3), stride=(1, stride),
+                     padding=(0, 1))
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x)).numpy()
+    w = conv.weight.detach().numpy()[:, :, 0, :].transpose(2, 1, 0)
+    bias = conv.bias.detach().numpy()
+    out = conv1xk_w(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w),
+                    jnp.asarray(bias), stride=stride, padding=1)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=RTOL, atol=1e-4)
+
+
+def test_conv1x1_2d_strided_matches_torch():
+    rng = np.random.default_rng(3)
+    b, h, w_in, ci, co = 2, 20, 240, 8, 16
+    x = rng.standard_normal((b, ci, h, w_in)).astype(np.float32)
+    conv = nn.Conv2d(ci, co, kernel_size=1, stride=(1, 2), bias=False)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x)).numpy()
+    w = conv.weight.detach().numpy()[:, :, 0, 0].T
+    out = conv1x1_2d(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w),
+                     stride_w=2)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_conv3x3_matches_torch():
+    rng = np.random.default_rng(4)
+    b, h, w_in, ci, co = 2, 15, 20, 64, 32
+    x = rng.standard_normal((b, ci, h, w_in)).astype(np.float32)
+    conv = nn.Conv2d(ci, co, kernel_size=3, padding=1)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x)).numpy()
+    w = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    out = conv3x3_2d(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w),
+                     jnp.asarray(conv.bias.detach().numpy()))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=RTOL, atol=1e-4)
+
+
+def test_batch_norm_train_matches_torch():
+    """Training BN: normalization + running-stat update (unbiased var)."""
+    rng = np.random.default_rng(5)
+    b, t, c = 16, 20, 32
+    x = rng.standard_normal((b, c, t)).astype(np.float32) * 3 + 1
+    bn = nn.BatchNorm1d(c)
+    bn.train()
+    with torch.no_grad():
+        ref = bn(torch.from_numpy(x)).numpy()
+    y, new_mean, new_var = batch_norm_train(
+        jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.ones(c), jnp.zeros(c), jnp.zeros(c), jnp.ones(c))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_mean),
+                               bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_var),
+                               bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_eval_matches_torch():
+    rng = np.random.default_rng(6)
+    b, t, c = 8, 20, 16
+    x = rng.standard_normal((b, c, t)).astype(np.float32)
+    bn = nn.BatchNorm1d(c)
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32)))
+        bn.running_var.copy_(torch.from_numpy(
+            rng.uniform(0.5, 2.0, c).astype(np.float32)))
+        bn.weight.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32)))
+        bn.bias.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32)))
+    bn.eval()
+    with torch.no_grad():
+        ref = bn(torch.from_numpy(x)).numpy()
+    y = batch_norm_eval(
+        jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.asarray(bn.running_mean.numpy()), jnp.asarray(bn.running_var.numpy()),
+        jnp.asarray(bn.weight.detach().numpy()),
+        jnp.asarray(bn.bias.detach().numpy()))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref,
+                               rtol=1e-5, atol=1e-5)

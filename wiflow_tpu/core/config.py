@@ -1,0 +1,134 @@
+"""Configuration tree for the framework.
+
+Replaces the reference's loosely coupled trio of argparse flags,
+``config.py::Config`` class constants (ref: /root/reference/config.py:1-50,
+several of which are stale — see SURVEY.md §8.9) and per-script dict
+configs.  One dataclass tree, consumed everywhere, CLI-overridable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+# 14-edge skeleton over the 15 retained OpenPose keypoints
+# (ref: /root/reference/config.py:30-34 and losses/pose_loss.py:20-24).
+SKELETON_CONNECTIONS: Tuple[Tuple[int, int], ...] = (
+    (0, 1), (1, 8), (1, 2), (2, 3), (3, 4),
+    (1, 5), (5, 6), (6, 7), (8, 9), (8, 12),
+    (9, 10), (10, 11), (12, 13), (13, 14),
+)
+
+# Keypoint index -> name (ref: /root/reference/config.py:37-41).
+KEYPOINT_NAMES = {
+    0: "Neck", 1: "Chest", 2: "L_Shoulder", 3: "L_Elbow", 4: "L_Wrist",
+    5: "R_Shoulder", 6: "R_Elbow", 7: "R_Wrist", 8: "Pelvis", 9: "L_Hip",
+    10: "L_Knee", 11: "L_Ankle", 12: "R_Hip", 13: "R_Knee", 14: "R_Ankle",
+}
+
+# MM-Fi 17-keypoint skeleton (ref: /root/reference/cross_dataset_test/
+# WiFlow/wiflow.py:544-551).
+MMFI_SKELETON_CONNECTIONS: Tuple[Tuple[int, int], ...] = (
+    (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6),
+    (0, 7), (7, 8), (8, 9), (9, 10),
+    (8, 11), (11, 12), (12, 13), (8, 14), (14, 15), (15, 16),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / preprocessing contract (ref: /root/reference/dataset.py)."""
+
+    data_dir: str = "preprocessed_csi_data"
+    keypoint_scale: float = 1000.0          # ref: config.py:6
+    window_size: int = 20                   # ref: config.py:7
+    stride: int = 1
+    num_keypoints: int = 15                 # ref: config.py:8
+    num_subcarriers: int = 540              # ref: config.py:9
+    enable_temporal_clean: bool = True      # zero-keypoint repair
+    # file-level random split ratios (ref: dataset.py:269-276)
+    train_ratio: float = 0.7
+    val_ratio: float = 0.15
+    split_seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """WiFlow model hyperparameters (ref: /root/reference/models/pose_model.py:16-53)."""
+
+    num_subcarriers: int = 540
+    window_size: int = 20
+    num_keypoints: int = 15
+    keypoint_dims: int = 2
+    tcn_channels: Sequence[int] = (540, 440, 340, 240)  # ref: pose_model.py:18
+    tcn_kernel_size: int = 3
+    tcn_groups: int = 20                    # ref: models/tcn.py:19
+    conv_channels: Sequence[int] = (8, 16, 32, 64)      # ref: pose_model.py:30
+    attention_groups: int = 8               # ref: pose_model.py:40
+    dropout: float = 0.5                    # train.py:88 passes 0.5
+    conv_dropout: float = 0.3               # convnet.py module default
+    # compute dtype for the forward pass; params stay fp32
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Pose loss (ref: /root/reference/losses/pose_loss.py:8-17, train.py:99-103)."""
+
+    position_weight: float = 1.0
+    bone_weight: float = 0.2
+    loss_type: str = "smooth_l1"            # 'mse' | 'l1' | 'smooth_l1'
+    position_beta: float = 0.1              # ref: pose_loss.py:59
+    bone_beta: float = 0.05                 # ref: pose_loss.py:73
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + plateau LR schedule (ref: /root/reference/train.py:105-121)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 5e-5              # train.py:108 hardcodes 5e-5
+    betas: Tuple[float, float] = (0.9, 0.999)
+    grad_clip_norm: float = 1.0             # train.py:235
+    # ReduceLROnPlateau semantics, matched to torch defaults + train.py:112-121
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    plateau_threshold: float = 1e-4         # threshold_mode='rel' (torch default)
+    plateau_cooldown: int = 1
+    min_lr_ratio: float = 1e-3              # min_lr = lr / 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64                    # ref: config.py:18
+    num_epochs: int = 50                    # ref: config.py:19
+    patience: int = 5                       # early stop on val MPE, train.py:382
+    use_augmentation: bool = False
+    seed: int = 42                          # ref: run.py:55
+    # val/test loaders use batch//2 and drop_last (ref: train.py:145,155-161,
+    # 402-408) — mirrored because it affects reported metrics (SURVEY §8.8).
+    drop_last_eval: bool = True
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    # run the epoch as one jitted lax.scan over batches (fast path) instead
+    # of a per-batch python loop
+    scan_epochs: bool = True
+    checkpoint_every_epoch: bool = True     # full-resume bundle
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for GSPMD data parallelism."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None       # None = all available
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    output_dir: str = "outputs"

@@ -1,0 +1,116 @@
+"""Shared flax.linen building blocks with torch-compatible parameter trees.
+
+Param/stat names deliberately mirror torch's ``state_dict`` leaves
+(``weight``/``bias``/``running_mean``/``running_var``) so the checkpoint
+import shim (models/torch_compat.py) is a pure name+transpose mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wiflow_tpu.ops.norm import batch_norm_eval, batch_norm_train, dropout, dropout2d
+
+
+def kaiming_normal_fan_out(fan_out: int) -> Callable:
+    """torch ``kaiming_normal_(mode='fan_out', nonlinearity='relu')``.
+
+    Used for every Conv1d in the reference via the model-level init sweep
+    (ref: /root/reference/models/pose_model.py:57-62).  ``fan_out`` follows
+    torch's convention: total output channels x receptive-field size.
+    """
+    std = math.sqrt(2.0 / fan_out)
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def torch_conv_default(fan_in: int) -> Callable:
+    """torch's default Conv init: ``kaiming_uniform_(a=sqrt(5))``.
+
+    Applies to the Conv2d weights, which the reference's init sweep skips
+    (it only handles Conv1d/BatchNorm1d/LayerNorm/Linear).
+    Bound = sqrt(1 / fan_in) with fan_in = (in_ch / groups) * kh * kw.
+    """
+    bound = math.sqrt(1.0 / fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_default(fan_in: int) -> Callable:
+    """torch's default conv bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch numerics (eps 1e-5, momentum 0.1, unbiased
+    running var).  Works for any rank via ``channel_axis``."""
+
+    features: int
+    channel_axis: int = -1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        gamma = self.param("weight", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "running_mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "running_var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+
+        if train:
+            y, new_mean, new_var = batch_norm_train(
+                x, gamma, beta, ra_mean.value, ra_var.value,
+                channel_axis=self.channel_axis)
+            if not self.is_initializing():
+                ra_mean.value = new_mean
+                ra_var.value = new_var
+            return y
+        return batch_norm_eval(
+            x, ra_mean.value, ra_var.value, gamma, beta,
+            channel_axis=self.channel_axis)
+
+
+class TorchDropout(nn.Module):
+    """Elementwise dropout (torch ``nn.Dropout``)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if not train or self.rate <= 0.0:
+            return x
+        return dropout(x, self.rate, self.make_rng("dropout"))
+
+
+class TorchDropout2d(nn.Module):
+    """Channel dropout (torch ``nn.Dropout2d``) for ``[B,H,W,C]`` inputs."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if not train or self.rate <= 0.0:
+            return x
+        return dropout2d(x, self.rate, self.make_rng("dropout"))
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)

@@ -1,0 +1,325 @@
+"""WiFlow pose model — TPU-native rebuild of the reference architecture.
+
+Maps ``[B, 540, 20]`` CSI amplitude windows to ``[B, 15, 2]`` keypoints,
+matching the torch reference layer-for-layer in math while using
+channel-last layouts and tap-matmul convs throughout:
+
+  TCN 540->[540,440,340,240] dilations 1/2/4/8
+      (ref: /root/reference/models/tcn.py, pose_model.py:16-22)
+  -> reshape to a 2-D time x feature map           (pose_model.py:79)
+  -> ConvBlock1(1->8) + 4 AsymmetricConvBlocks 8/16/32/64, subcarrier axis
+     halved 240->15                                 (convnet.py, pose_model.py:25-36)
+  -> DualAxialAttention (groups=8, BN on logits)    (attention.py)
+  -> conv decoder 64->32->2 + mean over time        (pose_model.py:44-53)
+
+Checkpoint parity with ``best_pose_model.pth`` is provided by
+models/torch_compat.py; numerics parity is tested in
+tests/test_model_parity.py against the reference torch modules.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wiflow_tpu.core.config import ModelConfig
+from wiflow_tpu.models.layers import (
+    TorchBatchNorm,
+    TorchDropout,
+    TorchDropout2d,
+    kaiming_normal_fan_out,
+    torch_bias_default,
+    torch_conv_default,
+    silu,
+)
+from wiflow_tpu.ops.conv import (
+    causal_grouped_conv1d,
+    conv1x1_2d,
+    conv1xk_w,
+    conv3x3_2d,
+    pointwise_conv1d,
+)
+
+
+class TCNLevel(nn.Module):
+    """One dilated grouped temporal block (ref: models/tcn.py:14-74).
+
+    Two rounds of [grouped causal conv -> BN -> SiLU -> pointwise conv ->
+    BN -> SiLU -> dropout], plus a 1x1+BN residual when channel counts
+    differ, finished with SiLU(out + res).
+    """
+
+    n_in: int
+    n_out: int
+    kernel_size: int
+    dilation: int
+    groups: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        g = self.groups
+        k = self.kernel_size
+        ci_in = self.n_in // g
+        ci_out = self.n_out // g
+        b, t, _ = x.shape
+
+        w1g = self.param("conv1_group_weight",
+                         kaiming_normal_fan_out(self.n_in * k),
+                         (k, g, ci_in, ci_in))
+        w1p = self.param("conv1_pw_weight",
+                         kaiming_normal_fan_out(self.n_out * 1),
+                         (self.n_in, self.n_out))
+        w2g = self.param("conv2_group_weight",
+                         kaiming_normal_fan_out(self.n_out * k),
+                         (k, g, ci_out, ci_out))
+        w2p = self.param("conv2_pw_weight",
+                         kaiming_normal_fan_out(self.n_out * 1),
+                         (self.n_out, self.n_out))
+
+        if self.n_in != self.n_out:
+            wd = self.param("downsample_weight",
+                            kaiming_normal_fan_out(self.n_out * 1),
+                            (self.n_in, self.n_out))
+            res = pointwise_conv1d(x, wd)
+            res = TorchBatchNorm(self.n_out, name="downsample_bn")(res, train=train)
+        else:
+            res = x
+
+        out = causal_grouped_conv1d(
+            x.reshape(b, t, g, ci_in), w1g, dilation=self.dilation
+        ).reshape(b, t, self.n_in)
+        out = TorchBatchNorm(self.n_in, name="bn1_group")(out, train=train)
+        out = silu(out)
+        out = pointwise_conv1d(out, w1p)
+        out = TorchBatchNorm(self.n_out, name="bn1_pw")(out, train=train)
+        out = silu(out)
+        out = TorchDropout(self.dropout, name="dropout1")(out, train=train)
+
+        out = causal_grouped_conv1d(
+            out.reshape(b, t, g, ci_out), w2g, dilation=self.dilation
+        ).reshape(b, t, self.n_out)
+        out = TorchBatchNorm(self.n_out, name="bn2_group")(out, train=train)
+        out = silu(out)
+        out = pointwise_conv1d(out, w2p)
+        out = TorchBatchNorm(self.n_out, name="bn2_pw")(out, train=train)
+        out = silu(out)
+        out = TorchDropout(self.dropout, name="dropout2")(out, train=train)
+
+        return silu(out + res)
+
+
+class TCNStack(nn.Module):
+    """Stack of TCN levels with dilation 2**i (ref: models/tcn.py:76-97)."""
+
+    num_inputs: int
+    num_channels: Sequence[int]
+    kernel_size: int
+    groups: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        n_in = self.num_inputs
+        for i, n_out in enumerate(self.num_channels):
+            x = TCNLevel(
+                n_in=n_in, n_out=n_out, kernel_size=self.kernel_size,
+                dilation=2 ** i, groups=self.groups, dropout=self.dropout,
+                name=f"network_{i}",
+            )(x, train=train)
+            n_in = n_out
+        return x
+
+
+class ConvBlock(nn.Module):
+    """(1,3) residual conv block over the subcarrier axis.
+
+    ``stride_w=2`` gives the reference's ``AsymmetricConvBlock``
+    (ref: models/convnet.py:4-38); ``stride_w=1`` gives ``ConvBlock1``
+    (convnet.py:41-74).  Three (1,3) convs with BN/SiLU/Dropout2d plus a
+    strided 1x1+BN shortcut.
+    """
+
+    n_in: int
+    n_out: int
+    stride_w: int = 1
+    dropout: float = 0.3   # torch-module default; pose_model.py never overrides
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        def conv_params(idx: int, ci: int, co: int):
+            fan_in = ci * 3
+            w = self.param(f"conv{idx}_weight", torch_conv_default(fan_in),
+                           (3, ci, co))
+            b = self.param(f"conv{idx}_bias", torch_bias_default(fan_in), (co,))
+            return w, b
+
+        w1, b1 = conv_params(1, self.n_in, self.n_out)
+        w2, b2 = conv_params(2, self.n_out, self.n_out)
+        w3, b3 = conv_params(3, self.n_out, self.n_out)
+        wd = self.param("downsample_weight",
+                        torch_conv_default(self.n_in), (self.n_in, self.n_out))
+
+        identity = conv1x1_2d(x, wd, stride_w=self.stride_w)
+        identity = TorchBatchNorm(self.n_out, name="downsample_bn")(
+            identity, train=train)
+
+        out = conv1xk_w(x, w1, b1, stride=self.stride_w, padding=1)
+        out = TorchBatchNorm(self.n_out, name="bn1")(out, train=train)
+        out = silu(out)
+        out = TorchDropout2d(self.dropout, name="drop1")(out, train=train)
+
+        out = conv1xk_w(out, w2, b2, stride=1, padding=1)
+        out = TorchBatchNorm(self.n_out, name="bn2")(out, train=train)
+        out = silu(out)
+        out = TorchDropout2d(self.dropout, name="drop2")(out, train=train)
+
+        out = conv1xk_w(out, w3, b3, stride=1, padding=1)
+        out = TorchBatchNorm(self.n_out, name="bn3")(out, train=train)
+
+        return silu(out + identity)
+
+
+class AxialAttention(nn.Module):
+    """Grouped single-axis self-attention with BN on logits.
+
+    Faithful to ref models/attention.py:7-80: 1x1 QKV projection + BN1d,
+    grouped dot-product logits -> BatchNorm2d(groups) -> softmax -> weighted
+    sum -> BN1d on the output.  No positional terms.
+
+    Input is channel-last ``[B, H, W, C]``.  ``width=True`` attends along W
+    (folding H into batch); ``width=False`` attends along H (folding W).
+    """
+
+    in_planes: int
+    out_planes: int
+    groups: int = 8
+    width: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        b, h, w, c = x.shape
+        gp = self.out_planes // self.groups
+
+        # qkv_transform is a Conv1d, so the reference's model-level init
+        # sweep overwrites its custom init with kaiming fan_out
+        # (pose_model.py:57-62 runs after attention.py:34-35).
+        wqkv = self.param("qkv_weight",
+                          kaiming_normal_fan_out(self.out_planes * 3),
+                          (self.in_planes, self.out_planes * 3))
+
+        if self.width:
+            xr = x.reshape(b * h, w, c)           # attend along W per row
+        else:
+            xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * w, h, c)
+        n, length, _ = xr.shape
+
+        qkv = pointwise_conv1d(xr, wqkv)
+        qkv = TorchBatchNorm(self.out_planes * 3, name="bn_qkv")(qkv, train=train)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(n, length, self.groups, gp)
+        k = k.reshape(n, length, self.groups, gp)
+        v = v.reshape(n, length, self.groups, gp)
+
+        logits = jnp.einsum("bigc,bjgc->bgij", q, k,
+                            preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        logits = TorchBatchNorm(self.groups, channel_axis=1,
+                                name="bn_similarity")(logits, train=train)
+        sim = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bgij,bjgc->bigc", sim, v,
+                         preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+        out = out.reshape(n, length, self.out_planes)
+        out = TorchBatchNorm(self.out_planes, name="bn_output")(out, train=train)
+
+        if self.width:
+            return out.reshape(b, h, w, self.out_planes)
+        return jnp.transpose(
+            out.reshape(b, w, h, self.out_planes), (0, 2, 1, 3))
+
+
+class DualAxialAttention(nn.Module):
+    """Width-axis then height-axis attention (ref: attention.py:83-98)."""
+
+    planes: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        x = AxialAttention(self.planes, self.planes, self.groups,
+                           width=True, name="width_axis")(x, train=train)
+        x = AxialAttention(self.planes, self.planes, self.groups,
+                           width=False, name="height_axis")(x, train=train)
+        return x
+
+
+class WiFlowPoseModel(nn.Module):
+    """Full WiFlow encoder-decoder (ref: models/pose_model.py:9-97)."""
+
+    config: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.config
+        if x.ndim != 3 or x.shape[1:] != (cfg.num_subcarriers, cfg.window_size):
+            raise ValueError(
+                f"WiFlowPoseModel expects [B, {cfg.num_subcarriers}, "
+                f"{cfg.window_size}] CSI windows, got {x.shape}")
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dtype)
+
+        # [B, 540, 20] -> channel-last [B, T=20, C=540]
+        x = jnp.transpose(x, (0, 2, 1))
+        x = TCNStack(
+            num_inputs=cfg.num_subcarriers,
+            num_channels=tuple(cfg.tcn_channels),
+            kernel_size=cfg.tcn_kernel_size,
+            groups=cfg.tcn_groups,
+            dropout=cfg.dropout,
+            name="tcn",
+        )(x, train=train)                       # [B, 20, 240]
+
+        # 2-D map: H = time (20), W = TCN features (240), C = 1
+        # (ref: pose_model.py:79 builds [B, 1, 20, 240])
+        x = x[..., None]                        # [B, 20, 240, 1]
+
+        x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
+                      dropout=cfg.conv_dropout, name="up")(x, train=train)
+        n_in = cfg.conv_channels[0]
+        for j, n_out in enumerate(cfg.conv_channels):
+            x = ConvBlock(n_in, n_out, stride_w=2, dropout=cfg.conv_dropout,
+                          name=f"residual_blocks_{j}")(x, train=train)
+            n_in = n_out
+        # [B, 20, 15, 64] -> [B, H=15, W=20, C=64]  (ref: pose_model.py:87)
+        x = jnp.transpose(x, (0, 2, 1, 3))
+
+        x = DualAxialAttention(cfg.conv_channels[-1],
+                               groups=cfg.attention_groups,
+                               name="attention")(x, train=train)
+
+        # decoder (ref: pose_model.py:44-51): 3x3 conv -> BN -> SiLU ->
+        # 1x1 conv -> BN -> SiLU
+        c = cfg.conv_channels[-1]
+        wd1 = self.param("decoder_conv1_weight",
+                         torch_conv_default(c * 9), (3, 3, c, 32))
+        bd1 = self.param("decoder_conv1_bias", torch_bias_default(c * 9), (32,))
+        wd2 = self.param("decoder_conv2_weight",
+                         torch_conv_default(32), (32, cfg.keypoint_dims))
+        bd2 = self.param("decoder_conv2_bias", torch_bias_default(32),
+                         (cfg.keypoint_dims,))
+
+        x = conv3x3_2d(x, wd1, bd1)
+        x = TorchBatchNorm(32, name="decoder_bn1")(x, train=train)
+        x = silu(x)
+        x = conv1x1_2d(x, wd2, bd2)
+        x = TorchBatchNorm(cfg.keypoint_dims, name="decoder_bn2")(x, train=train)
+        x = silu(x)                             # [B, 15, 20, 2]
+
+        # AdaptiveAvgPool2d((15, 1)) on H=15 input == mean over W
+        # (ref: pose_model.py:53,94-96)
+        x = jnp.mean(x.astype(jnp.float32), axis=2)   # [B, 15, 2]
+        return x

@@ -1,0 +1,134 @@
+"""Convolution primitives, lowered as tap-wise matmuls for the TPU MXU.
+
+The reference model is built from three conv flavours (all torch modules):
+
+  * causal dilated *grouped* Conv1d + pointwise Conv1d pairs inside the TCN
+    (ref: /root/reference/models/tcn.py:20-43 — groups=20 over 540/440/340/240
+    channels, pad (k-1)*d then right-chomp),
+  * asymmetric (1,3) Conv2d blocks that convolve only the subcarrier axis,
+    optionally with stride (1,2) (ref: /root/reference/models/convnet.py:10-29),
+  * a single 3x3 Conv2d in the decoder (ref: models/pose_model.py:45).
+
+Grouped convs with 27/22/17/12 channels per group lower poorly to TPU conv
+instructions (SURVEY.md §7 hard-part 3), so every conv here is expressed as a
+small sum over kernel taps of plain batched matmuls: for tap ``j`` we shift
+the input along the convolved axis and contract the channel dimension on the
+MXU.  XLA fuses the shifts (static slices of a zero-padded array) into the
+surrounding elementwise ops, and the matmuls are large in the batch*length
+dimension, which is where all the data lives for this workload.
+
+All activations are channel-last: ``[B, T, C]`` for 1-D, ``[B, H, W, C]``
+for 2-D (time = H, subcarrier = W).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.Array:
+    """Causal dilated grouped 1-D conv.
+
+    Numerically identical to torch ``Conv1d(C, C', k, padding=(k-1)*d,
+    dilation=d, groups=G, bias=False)`` followed by ``Chomp1d((k-1)*d)``
+    (ref: /root/reference/models/tcn.py:6-12,20-23): symmetric pad + right
+    chomp == left pad only.
+
+    Args:
+      x: ``[B, T, G, Ci]`` input (channels split into ``G`` contiguous groups,
+         matching torch's grouped-channel layout).
+      w: ``[K, G, Ci, Co]`` weights (tap-major).
+      dilation: dilation ``d``; left padding is ``(K-1)*d``.
+
+    Returns:
+      ``[B, T, G, Co]``.
+    """
+    k = w.shape[0]
+    t = x.shape[1]
+    pad = (k - 1) * dilation
+    xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0), (0, 0)))
+    out = None
+    for j in range(k):
+        seg = jax.lax.slice_in_dim(xp, j * dilation, j * dilation + t, axis=1)
+        y = jnp.einsum("btgi,gio->btgo", seg, w[j],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        out = y if out is None else out + y
+    return out.astype(x.dtype)
+
+
+def pointwise_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """1x1 Conv1d == channel matmul.  ``x [B, T, Ci]``, ``w [Ci, Co]``."""
+    y = jnp.einsum("bti,io->bto", x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+              *, stride: int = 1, padding: int = 1) -> jax.Array:
+    """(1, K) Conv2d over the last spatial axis (subcarriers), tap-matmul form.
+
+    Matches torch ``Conv2d(Ci, Co, kernel_size=(1, K), stride=(1, s),
+    padding=(0, P))`` (ref: /root/reference/models/convnet.py:11-23).
+
+    Args:
+      x: ``[B, H, W, Ci]``.
+      w: ``[K, Ci, Co]``.
+      b: optional ``[Co]`` bias.
+      stride: stride along W.
+      padding: symmetric zero padding along W.
+
+    Returns:
+      ``[B, H, W_out, Co]`` with ``W_out = (W + 2P - K)//s + 1``.
+    """
+    k = w.shape[0]
+    wlen = x.shape[2]
+    out_w = (wlen + 2 * padding - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
+    out = None
+    for j in range(k):
+        seg = jax.lax.slice_in_dim(xp, j, j + stride * (out_w - 1) + 1, axis=2)
+        if stride > 1:
+            seg = seg[:, :, ::stride, :]
+        y = jnp.einsum("bhwi,io->bhwo", seg, w[j],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        out = y if out is None else out + y
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+               *, stride_w: int = 1) -> jax.Array:
+    """1x1 Conv2d (optionally strided along W).  ``x [B,H,W,Ci]``, ``w [Ci,Co]``."""
+    if stride_w > 1:
+        x = x[:, :, ::stride_w, :]
+    y = jnp.einsum("bhwi,io->bhwo", x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def conv3x3_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """3x3 SAME Conv2d (decoder head, ref: models/pose_model.py:45).
+
+    ``x [B, H, W, Ci]``, ``w [3, 3, Ci, Co]`` (HWIO).  Uses XLA's native conv,
+    which tiles fine at these shapes (H=15, W=20, C=64).
+    """
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32) if x.dtype == jnp.float32 else x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
