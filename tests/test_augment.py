@@ -1,0 +1,60 @@
+"""On-device augmentation tests (semantics of ref utils/augmentation.py +
+train.py:187-193 policy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiflow_tpu.data.augment import (
+    add_noise, augment_batch, random_scaling, time_masking,
+)
+
+
+def test_time_masking_replaces_spans_with_per_timestep_mean():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 64, 20)).astype(np.float32))
+    out = time_masking(x, jax.random.key(0), mask_ratio=1.0)
+    changed = np.asarray(jnp.any(out != x, axis=(1, 2)))
+    assert changed.all()      # mask_ratio=1 -> every sample masked
+    # masked entries equal the per-(sample, t) mean over subcarriers
+    diff_mask = np.asarray(jnp.any(out != x, axis=2))   # [B, S]
+    mean = np.asarray(jnp.mean(x, axis=1))              # [B, T]
+    out_np = np.asarray(out)
+    b, s = np.nonzero(diff_mask)
+    np.testing.assert_allclose(out_np[b[0], s[0]], mean[b[0]], rtol=1e-5)
+    # span lengths within [5, 9] * <=2 masks
+    per_sample = diff_mask.sum(axis=1)
+    assert per_sample.max() <= 18 and per_sample.min() >= 5
+
+
+def test_time_masking_zero_ratio_is_identity():
+    x = jnp.ones((4, 16, 20))
+    out = time_masking(x, jax.random.key(1), mask_ratio=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_add_noise_scale():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 32, 20)).astype(np.float32) * 2)
+    out = add_noise(x, jax.random.key(0), noise_level=0.05)
+    resid = np.asarray(out - x)
+    assert 0.05 * 2 * 0.8 < resid.std() < 0.05 * 2 * 1.2
+
+
+def test_random_scaling_bounds():
+    x = jnp.ones((4, 8, 20))
+    seen_identity = seen_scaled = False
+    for i in range(20):
+        out = np.asarray(random_scaling(x, jax.random.key(i)))
+        if np.allclose(out, 1.0):
+            seen_identity = True
+        else:
+            assert 0.9 <= out.mean() <= 1.1
+            seen_scaled = True
+    assert seen_identity and seen_scaled
+
+
+def test_augment_batch_jits_and_preserves_shape():
+    x = jnp.ones((8, 540, 20))
+    out = jax.jit(augment_batch)(x, jax.random.key(0))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
