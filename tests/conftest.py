@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (loaded by sitecustomize) force-selects
+# jax_platforms="axon,cpu" via jax.config, which overrides the env var —
+# override it back before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import pytest  # noqa: E402
 
 

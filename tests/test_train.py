@@ -1,0 +1,120 @@
+"""Training engine tests: optimizer semantics, plateau scheduler, and an
+end-to-end multi-device smoke train on synthetic data."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from wiflow_tpu.core.config import Config, MeshConfig, ModelConfig, OptimConfig, TrainConfig
+from wiflow_tpu.data.dataset import CSIKeypointsDataset
+from wiflow_tpu.data.splits import expand_to_samples, file_level_split
+from wiflow_tpu.data.synthetic import make_preprocessed_dataset
+from wiflow_tpu.train.loop import train_pose_model
+from wiflow_tpu.train.optim import ReduceLROnPlateau
+
+
+def test_plateau_scheduler_matches_torch():
+    """Drive both schedulers with the same metric trace; lrs must agree."""
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.9, 0.5, 0.5, 0.5001, 0.49,
+               0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.48, 0.48, 0.48]
+    lr0 = 1e-4
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=3, min_lr=lr0 / 1000,
+        cooldown=1, threshold=1e-4)
+    ours = ReduceLROnPlateau(lr=lr0, factor=0.5, patience=3,
+                             threshold=1e-4, cooldown=1, min_lr=lr0 / 1000)
+    for m in metrics:
+        tsched.step(m)
+        lr_ours = ours.step(m)
+        assert lr_ours == pytest.approx(opt.param_groups[0]["lr"], rel=1e-9), m
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    # tcn_channels[-1]=60 halves twice to 15 = num_keypoints
+    model = ModelConfig(num_subcarriers=40, window_size=20,
+                        tcn_channels=(40, 60), tcn_groups=4,
+                        conv_channels=(4, 8), attention_groups=2,
+                        dropout=0.1, conv_dropout=0.1,
+                        compute_dtype="float32")
+    train = TrainConfig(batch_size=32, num_epochs=3, patience=5,
+                        optim=OptimConfig(lr=3e-3))
+    return Config(model=model, train=train, mesh=MeshConfig(num_devices=8))
+
+
+@pytest.fixture(scope="module")
+def tiny_splits(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_synth")
+    out = make_preprocessed_dataset(str(root), num_files=8,
+                                    frames_per_file=80, num_subcarriers=40)
+    ds = CSIKeypointsDataset(out)
+    tr, va, te = file_level_split(ds.num_files)
+    data = {}
+    for name, files in (("train", tr), ("val", va), ("test", te)):
+        idx = expand_to_samples(ds.window_ranges, files)
+        data[name] = ds.materialize(idx)
+    return data
+
+
+def test_end_to_end_training_smoke(tiny_config, tiny_splits, tmp_path,
+                                   eight_devices):
+    """3 epochs on an 8-device CPU mesh: loss drops, artifacts written."""
+    out_dir = str(tmp_path / "run")
+    res = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                           tiny_splits["test"], tiny_config, out_dir,
+                           verbose=False)
+    assert len(res.history["train_loss"]) == 3
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+    assert np.isfinite(res.test_metrics["mpe"])
+    assert 0.0 <= res.test_metrics["pck@0.2"] <= 1.0
+    assert res.predictions.shape == res.targets.shape
+    assert os.path.exists(os.path.join(out_dir, "best_pose_model.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "latest_checkpoint.pkl"))
+    # history lr recorded per epoch
+    assert len(res.history["lr"]) == 3
+
+
+def test_resume_continues_from_checkpoint(tiny_config, tiny_splits, tmp_path):
+    out_dir = str(tmp_path / "resume_run")
+    cfg2 = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, num_epochs=2))
+    res1 = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                            tiny_splits["test"], cfg2, out_dir, verbose=False)
+    assert res1.epochs_run == 2
+    cfg3 = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, num_epochs=4))
+    res2 = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                            tiny_splits["test"], cfg3, out_dir, verbose=False)
+    # picked up at epoch 3, trained 2 more, history is cumulative
+    assert res2.epochs_run == 4
+    assert len(res2.history["train_loss"]) == 4
+    assert res2.history["train_loss"][:2] == res1.history["train_loss"]
+
+
+def test_grad_accumulation_runs(tiny_config, tiny_splits, tmp_path):
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, num_epochs=1,
+                                  grad_accum_steps=2))
+    res = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                           tiny_splits["test"], cfg,
+                           str(tmp_path / "accum"), verbose=False)
+    assert np.isfinite(res.history["train_loss"][0])
+
+
+def test_augmentation_path_runs(tiny_config, tiny_splits, tmp_path):
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, num_epochs=2,
+                                  use_augmentation=True))
+    res = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                           tiny_splits["test"], cfg,
+                           str(tmp_path / "aug"), verbose=False)
+    assert np.isfinite(res.history["train_loss"][-1])

@@ -102,6 +102,7 @@ class OptimConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 64                    # ref: config.py:18
+    grad_accum_steps: int = 1               # effective = batch * accum
     num_epochs: int = 50                    # ref: config.py:19
     patience: int = 5                       # early stop on val MPE, train.py:382
     use_augmentation: bool = False

@@ -269,6 +269,17 @@ class WiFlowPoseModel(nn.Module):
             raise ValueError(
                 f"WiFlowPoseModel expects [B, {cfg.num_subcarriers}, "
                 f"{cfg.window_size}] CSI windows, got {x.shape}")
+        # architecture invariant: the stride-2 conv stack must reduce the
+        # TCN feature axis exactly to num_keypoints (240 -> 15 in the
+        # reference; the keypoint axis IS the downsampled feature axis)
+        w_out = cfg.tcn_channels[-1]
+        for _ in cfg.conv_channels:
+            w_out = (w_out + 1) // 2
+        if w_out != cfg.num_keypoints:
+            raise ValueError(
+                f"tcn_channels[-1]={cfg.tcn_channels[-1]} downsampled by "
+                f"{len(cfg.conv_channels)} stride-2 blocks gives {w_out} "
+                f"rows, but num_keypoints={cfg.num_keypoints}")
         dtype = jnp.dtype(cfg.compute_dtype)
         x = x.astype(dtype)
 

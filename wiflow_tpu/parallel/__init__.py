@@ -1,0 +1,3 @@
+from wiflow_tpu.parallel.mesh import (
+    DATA_AXIS, batch_sharding, make_mesh, replicate, replicated, shard_batch,
+)

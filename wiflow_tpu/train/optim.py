@@ -1,0 +1,131 @@
+"""Optimizer + schedule machinery with torch-matched semantics.
+
+AdamW(lr, betas (0.9, 0.999), weight_decay 5e-5, decay on *all* params)
+preceded by global-norm clipping at 1.0 — exactly the reference trainer
+(ref: /root/reference/train.py:105-110, 234-235).  No GradScaler: bf16 on
+TPU has fp32 dynamic range, so loss scaling is unnecessary (SURVEY §2.4).
+
+``ReduceLROnPlateau`` replicates torch's scheduler including the rel
+threshold mode, cooldown and eps gate (train.py:112-121 passes factor 0.5,
+patience 3, threshold 1e-4, cooldown 1, min_lr lr/1000) — SURVEY §7 hard
+part 5: small deltas here change the 50-epoch trajectory.
+
+``EarlyStopping`` is the val-MPE strict-improvement counter of
+train.py:361-384.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import optax
+
+from wiflow_tpu.core.config import OptimConfig
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr,
+            b1=cfg.betas[0], b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+def set_learning_rate(opt_state: Tuple, lr: float) -> Tuple:
+    """Functionally update the injected learning rate (epoch boundary)."""
+    clip_state, inject_state = opt_state
+    hp = dict(inject_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return (clip_state, inject_state._replace(hyperparams=hp))
+
+
+def get_learning_rate(opt_state: Tuple) -> float:
+    return float(opt_state[1].hyperparams["learning_rate"])
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """torch ``ReduceLROnPlateau`` (mode='min', threshold_mode='rel')."""
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 3
+    threshold: float = 1e-4
+    cooldown: int = 1
+    min_lr: float = 0.0
+    eps: float = 1e-8
+
+    best: float = float("inf")
+    num_bad_epochs: int = 0
+    cooldown_counter: int = 0
+
+    @classmethod
+    def from_config(cls, cfg: OptimConfig) -> "ReduceLROnPlateau":
+        return cls(lr=cfg.lr, factor=cfg.plateau_factor,
+                   patience=cfg.plateau_patience,
+                   threshold=cfg.plateau_threshold,
+                   cooldown=cfg.plateau_cooldown,
+                   min_lr=cfg.lr * cfg.min_lr_ratio)
+
+    def step(self, metric: float) -> float:
+        """Feed the epoch's val metric; returns the (possibly reduced) lr."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+        return self.lr
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self)}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        for k, v in state.items():
+            setattr(self, k, v)
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Strict-improvement early stop on val MPE (train.py:361-384)."""
+
+    patience: int = 5
+    best: float = float("inf")
+    counter: int = 0
+    best_epoch: int = -1
+
+    def update(self, metric: float, epoch: int) -> bool:
+        """Returns True when this epoch is a new best."""
+        if metric < self.best:
+            self.best = metric
+            self.best_epoch = epoch
+            self.counter = 0
+            return True
+        self.counter += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self)}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        for k, v in state.items():
+            setattr(self, k, v)
