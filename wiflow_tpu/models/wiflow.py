@@ -224,15 +224,20 @@ class AxialAttention(nn.Module):
         k = k.reshape(n, length, self.groups, gp)
         v = v.reshape(n, length, self.groups, gp)
 
-        logits = jnp.einsum("bigc,bjgc->bgij", q, k,
+        # Keep the huge folded-batch dim (n = B*H or B*W, up to ~10^5)
+        # minor-most in the materialized logits: [G, L, L, n] tiles the
+        # (8, 128) TPU layout near-perfectly, whereas the torch-ordered
+        # [n, G, L, L] pads the trailing 20x20 dims 7.7x (11 GB at batch
+        # 8k — measured OOM).  Same math as ref attention.py:61-64.
+        logits = jnp.einsum("bigc,bjgc->gijb", q, k,
                             preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        logits = TorchBatchNorm(self.groups, channel_axis=1,
+                            precision=jax.lax.Precision.HIGHEST)
+        logits = TorchBatchNorm(self.groups, channel_axis=0,
                                 name="bn_similarity")(logits, train=train)
-        sim = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bgij,bjgc->bigc", sim, v,
+        sim = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(x.dtype)
+        out = jnp.einsum("gijb,bjgc->bigc", sim, v,
                          preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+                         precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
         out = out.reshape(n, length, self.out_planes)
         out = TorchBatchNorm(self.out_planes, name="bn_output")(out, train=train)
 

@@ -44,6 +44,7 @@ def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.A
     Returns:
       ``[B, T, G, Co]``.
     """
+    w = w.astype(x.dtype)
     k = w.shape[0]
     t = x.shape[1]
     pad = (k - 1) * dilation
@@ -60,7 +61,8 @@ def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.A
 
 def pointwise_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     """1x1 Conv1d == channel matmul.  ``x [B, T, Ci]``, ``w [Ci, Co]``."""
-    y = jnp.einsum("bti,io->bto", x, w, preferred_element_type=jnp.float32,
+    y = jnp.einsum("bti,io->bto", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     if b is not None:
         y = y + b
@@ -84,6 +86,7 @@ def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     Returns:
       ``[B, H, W_out, Co]`` with ``W_out = (W + 2P - K)//s + 1``.
     """
+    w = w.astype(x.dtype)
     k = w.shape[0]
     wlen = x.shape[2]
     out_w = (wlen + 2 * padding - k) // stride + 1
@@ -107,7 +110,8 @@ def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     """1x1 Conv2d (optionally strided along W).  ``x [B,H,W,Ci]``, ``w [Ci,Co]``."""
     if stride_w > 1:
         x = x[:, :, ::stride_w, :]
-    y = jnp.einsum("bhwi,io->bhwo", x, w, preferred_element_type=jnp.float32,
+    y = jnp.einsum("bhwi,io->bhwo", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     if b is not None:
         y = y + b
@@ -120,13 +124,15 @@ def conv3x3_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Ar
     ``x [B, H, W, Ci]``, ``w [3, 3, Ci, Co]`` (HWIO).  Uses XLA's native conv,
     which tiles fine at these shapes (H=15, W=20, C=64).
     """
+    # output dtype = input dtype (MXU still accumulates fp32 internally);
+    # a float32 preferred_element_type here breaks the conv VJP on bf16
+    # inputs (cotangent/operand dtype mismatch)
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32) if x.dtype == jnp.float32 else x,
+        x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     if b is not None:

@@ -162,7 +162,7 @@ def train_pose_model(
         t0 = time.time()
         state, tm = train_epoch(state, train_x, train_y, batch_idx,
                                 jax.random.fold_in(ekey, 1),
-                                augment=tc.use_augmentation and epoch > 0)
+                                tc.use_augmentation and epoch > 0)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         vm, _ = eval_epoch(variables, val_x, val_y, val_idx)
@@ -190,8 +190,9 @@ def train_pose_model(
                   f"mpe {val_mpe:.4f} pck20 {float(vm['pck']):.4f} "
                   f"| lr {lr_used:.6f}")
 
+        prev_lr = scheduler.lr
         new_lr = scheduler.step(val_mpe)
-        if new_lr != lr_used:
+        if new_lr != prev_lr:
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))
             if verbose:

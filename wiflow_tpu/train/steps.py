@@ -72,6 +72,11 @@ def make_step_fns(
     loss_kwargs = {} if connections is None else {"connections": connections}
     data_sharding = (NamedSharding(mesh, P("data"))
                      if mesh is not None and mesh.size > 1 else None)
+    # explicit in/out shardings keep the state's sharding identical across
+    # epochs — without them the first epoch's output state re-triggers a
+    # full compile on epoch 2 (measured: ~60s wasted)
+    rep = NamedSharding(mesh, P()) if mesh is not None else None
+    dsh = NamedSharding(mesh, P("data")) if mesh is not None else None
 
     def constrain(t):
         if data_sharding is None:
@@ -125,7 +130,13 @@ def make_step_fns(
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, batch_stats, opt_state), metrics
 
-    @functools.partial(jax.jit, static_argnames=("augment",), donate_argnums=(0,))
+    jit_kwargs = {}
+    if mesh is not None:
+        jit_kwargs = {"in_shardings": (rep, dsh, dsh, rep, rep),
+                      "out_shardings": (rep, rep)}
+
+    @functools.partial(jax.jit, static_argnums=(5,),
+                       donate_argnums=(0,), **jit_kwargs)
     def train_epoch(state: TrainState, x, y, batch_idx, key,
                     augment: bool = False):
         def body(state, inp):
@@ -141,7 +152,12 @@ def make_step_fns(
         state, ms = jax.lax.scan(body, state, (steps, batch_idx))
         return state, jax.tree.map(jnp.mean, ms)
 
-    @jax.jit
+    eval_jit_kwargs = {}
+    if mesh is not None:
+        eval_jit_kwargs = {"in_shardings": (rep, dsh, dsh, rep),
+                           "out_shardings": (rep, rep)}
+
+    @functools.partial(jax.jit, **eval_jit_kwargs)
     def eval_epoch(variables, x, y, batch_idx):
         def body(_, idx):
             xb = constrain(jnp.take(x, idx, axis=0))
