@@ -39,9 +39,11 @@ def timed_scan_sec(op, x0, k: int, reps: int = 3) -> float:
 
 def main() -> None:
     from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.models.fast import fast_forward
     from wiflow_tpu.models.wiflow import WiFlowPoseModel
 
-    model = WiFlowPoseModel(ModelConfig())  # bf16 compute
+    cfg = ModelConfig()  # bf16 compute
+    model = WiFlowPoseModel(cfg)
     batch = 4096
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 540, 20)).astype(np.float32))
@@ -49,7 +51,7 @@ def main() -> None:
         {"params": jax.random.key(0)}, x[:1])
 
     def op(xc):
-        out = model.apply(variables, xc, train=False)
+        out = fast_forward(variables, xc, cfg)
         return xc + 0.0 * jnp.sum(out)   # chain iterations
 
     k_lo, k_hi = 4, 24

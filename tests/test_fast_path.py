@@ -1,0 +1,54 @@
+"""Fast inference path == flax module in eval mode (fp32, CPU interpret)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiflow_tpu.core.config import ModelConfig
+from wiflow_tpu.models.fast import fast_forward
+from wiflow_tpu.models.wiflow import DualAxialAttention, WiFlowPoseModel
+from wiflow_tpu.ops.pallas.axial_attention import dual_axial_attention_eval
+
+CFG = ModelConfig(compute_dtype="float32")
+
+
+def _nontrivial_stats(variables, scale=0.2):
+    """Perturb running stats so BN folding is actually exercised."""
+    def bump(path, a):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "running_mean":
+            return a + scale * jnp.sin(jnp.arange(a.size, dtype=a.dtype))
+        if name == "running_var":
+            return a * (1.0 + 0.5 * jnp.cos(jnp.arange(a.size, dtype=a.dtype)) ** 2)
+        return a
+    bs = jax.tree_util.tree_map_with_path(bump, variables["batch_stats"])
+    return {"params": variables["params"], "batch_stats": bs}
+
+
+def test_fused_attention_matches_module():
+    att = DualAxialAttention(64, groups=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 15, 20, 64)).astype(np.float32))
+    v = _nontrivial_stats(att.init({"params": jax.random.key(0)}, x,
+                                   train=False))
+    ref = att.apply(v, x, train=False)
+    out = dual_axial_attention_eval(x, v["params"], v["batch_stats"],
+                                    groups=8, block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fast_forward_matches_module():
+    model = WiFlowPoseModel(CFG)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 540, 20)).astype(np.float32))
+    v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, x[:1]))
+    ref = model.apply(v, x, train=False)
+    out = fast_forward(v, x, CFG, attention_block=8, interpret=True)
+    assert out.shape == (4, 15, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

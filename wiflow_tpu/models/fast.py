@@ -1,0 +1,130 @@
+"""Deployment-grade inference path: BN-folded forward with fused attention.
+
+``fast_forward(variables, x)`` computes exactly what
+``WiFlowPoseModel.apply(variables, x, train=False)`` computes, but:
+
+  * every eval-mode BatchNorm is folded into the preceding conv as a
+    per-channel affine (one matmul instead of matmul + 2-pass normalize),
+  * the dual axial attention runs as the fused Pallas kernel
+    (ops/pallas/axial_attention.py) — logits never touch HBM,
+  * dropout disappears entirely.
+
+This is the serving path (bench.py, continuous-stream inference); training
+and train-time validation use the flax module.  Equivalence is tested in
+tests/test_fast_path.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from wiflow_tpu.core.config import ModelConfig
+from wiflow_tpu.ops.conv import (
+    causal_grouped_conv1d, conv1x1_2d, conv1xk_w, conv3x3_2d,
+    pointwise_conv1d,
+)
+from wiflow_tpu.ops.pallas.axial_attention import (
+    bn_affine, dual_axial_attention_eval,
+)
+
+
+def _aff(params, stats, name):
+    """(scale, bias) for an eval-mode TorchBatchNorm submodule."""
+    return bn_affine(params[name]["weight"], params[name]["bias"],
+                     stats[name]["running_mean"], stats[name]["running_var"])
+
+
+def _tcn_level(p, s, x, *, dilation: int, groups: int, dtype):
+    b, t, _ = x.shape
+    n_in = p["conv1_group_weight"].shape[1] * p["conv1_group_weight"].shape[2]
+    n_out = p["conv1_pw_weight"].shape[1]
+
+    if "downsample_weight" in p:
+        sc, bi = _aff(p, s, "downsample_bn")
+        wd = p["downsample_weight"] * sc[None, :]
+        res = pointwise_conv1d(x, wd.astype(dtype)) + bi.astype(dtype)
+    else:
+        res = x
+
+    def grouped(x, wkey, bnkey, dil):
+        sc, bi = _aff(p, s, bnkey)
+        w = p[wkey]
+        k, g, ci, co = w.shape
+        wf = w * sc.reshape(g, co)[None, :, None, :]
+        out = causal_grouped_conv1d(
+            x.reshape(b, t, g, ci), wf.astype(dtype), dilation=dil)
+        return out.reshape(b, t, g * co) + bi.astype(dtype)
+
+    def pw(x, wkey, bnkey):
+        sc, bi = _aff(p, s, bnkey)
+        w = p[wkey] * sc[None, :]
+        return pointwise_conv1d(x, w.astype(dtype)) + bi.astype(dtype)
+
+    out = jax.nn.silu(grouped(x, "conv1_group_weight", "bn1_group", dilation))
+    out = jax.nn.silu(pw(out, "conv1_pw_weight", "bn1_pw"))
+    out = jax.nn.silu(grouped(out, "conv2_group_weight", "bn2_group", dilation))
+    out = jax.nn.silu(pw(out, "conv2_pw_weight", "bn2_pw"))
+    return jax.nn.silu(out + res)
+
+
+def _conv_block(p, s, x, *, stride_w: int, dtype):
+    sc, bi = _aff(p, s, "downsample_bn")
+    wd = p["downsample_weight"] * sc[None, :]
+    identity = conv1x1_2d(x, wd.astype(dtype), stride_w=stride_w) \
+        + bi.astype(dtype)
+
+    out = x
+    for idx, stride in ((1, stride_w), (2, 1), (3, 1)):
+        sc, bi = _aff(p, s, f"bn{idx}")
+        w = p[f"conv{idx}_weight"] * sc[None, None, :]
+        b = sc * p[f"conv{idx}_bias"] + bi
+        out = conv1xk_w(out, w.astype(dtype), b.astype(dtype),
+                        stride=stride, padding=1)
+        if idx < 3:
+            out = jax.nn.silu(out)
+    return jax.nn.silu(out + identity)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "attention_block",
+                                              "interpret"))
+def fast_forward(variables: Dict[str, Any], x: jax.Array,
+                 config: ModelConfig = ModelConfig(),
+                 attention_block: int = 128,
+                 interpret: bool = False) -> jax.Array:
+    """[B, 540, 20] -> [B, 15, 2], eval semantics, fused/folded."""
+    cfg = config
+    p, s = variables["params"], variables["batch_stats"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(dtype)
+
+    x = jnp.transpose(x, (0, 2, 1))                    # [B, T, C]
+    for i in range(len(cfg.tcn_channels)):
+        x = _tcn_level(p["tcn"][f"network_{i}"], s["tcn"][f"network_{i}"],
+                       x, dilation=2 ** i, groups=cfg.tcn_groups, dtype=dtype)
+
+    x = x[..., None]                                   # [B, 20, 240, 1]
+    x = _conv_block(p["up"], s["up"], x, stride_w=1, dtype=dtype)
+    for j in range(len(cfg.conv_channels)):
+        x = _conv_block(p[f"residual_blocks_{j}"], s[f"residual_blocks_{j}"],
+                        x, stride_w=2, dtype=dtype)
+    x = jnp.transpose(x, (0, 2, 1, 3))                 # [B, 15, 20, 64]
+
+    x = dual_axial_attention_eval(
+        x, p["attention"], s["attention"], groups=cfg.attention_groups,
+        block=attention_block, interpret=interpret).astype(dtype)
+
+    sc, bi = _aff(p, s, "decoder_bn1")
+    w1 = p["decoder_conv1_weight"] * sc[None, None, None, :]
+    b1 = sc * p["decoder_conv1_bias"] + bi
+    x = jax.nn.silu(conv3x3_2d(x, w1.astype(dtype), b1.astype(dtype)))
+
+    sc, bi = _aff(p, s, "decoder_bn2")
+    w2 = p["decoder_conv2_weight"] * sc[None, :]
+    b2 = sc * p["decoder_conv2_bias"] + bi
+    x = jax.nn.silu(conv1x1_2d(x, w2.astype(dtype)) + b2.astype(dtype))
+
+    return jnp.mean(x.astype(jnp.float32), axis=2)     # [B, 15, 2]
