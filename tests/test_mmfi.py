@@ -1,0 +1,203 @@
+"""MM-Fi suite tests: config decoding, data layer, metrics, model parity,
+end-to-end smoke training."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.reference_loader import REFERENCE_DIR, reference_available
+from wiflow_tpu.data.mmfi import (
+    MMFiDataset, decode_config, generate_synthetic_mmfi, load_csi_frame,
+    make_dataset, scene_of, split_val_test,
+)
+from wiflow_tpu.metrics.mmfi_metrics import (
+    pa_mpjpe, root_aligned_mpjpe, root_relative_pck, similarity_transform,
+)
+from wiflow_tpu.models.torch_compat import from_torch_state_dict, wiflow_mmfi_spec
+from wiflow_tpu.models.wiflow_mmfi import MMFiModelConfig, WiFlowMMFiModel
+
+CONFIG = {
+    "modality": "wifi-csi", "protocol": "protocol3", "data_unit": "frame",
+    "split_to_use": "random_split",
+    "random_split": {"ratio": 0.7, "random_seed": 0},
+}
+
+
+def test_scene_mapping():
+    assert scene_of("S01") == "E01" and scene_of("S10") == "E01"
+    assert scene_of("S11") == "E02" and scene_of("S40") == "E04"
+
+
+def test_decode_config_random_split_matches_reference_semantics():
+    """Replicates mmfi.py:27-48: per-action np.random.seed(rs), rs += 1."""
+    forms = decode_config(CONFIG)
+    rs = 0
+    all_subjects = [f"S{i:02d}" for i in range(1, 41)]
+    for action in [f"A{i:02d}" for i in range(1, 28)]:
+        np.random.seed(rs)
+        idx = np.random.permutation(40)
+        cut = int(np.floor(0.7 * 40))
+        train_subj = {all_subjects[i] for i in idx[:cut]}
+        for subject in all_subjects:
+            in_train = action in forms["train"].get(subject, [])
+            assert in_train == (subject in train_subj), (action, subject)
+        rs += 1
+    # every (subject, action) lands in exactly one split
+    for subject in all_subjects:
+        overlap = set(forms["train"].get(subject, [])) & \
+            set(forms["val"].get(subject, []))
+        assert not overlap
+
+
+def test_decode_config_protocols():
+    f1 = decode_config({**CONFIG, "protocol": "protocol1",
+                        "split_to_use": "cross_scene_split"})
+    assert all(len(a) == 14 for a in f1["train"].values())
+    assert set(f1["val"]) == {f"S{i:02d}" for i in range(31, 41)}
+
+
+@pytest.fixture(scope="module")
+def mmfi_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mmfi")
+    generate_synthetic_mmfi(str(root), subjects=("S01", "S02", "S31"),
+                            actions=("A01", "A02"), frames=24)
+    return str(root)
+
+
+def test_csi_frame_loading(mmfi_root):
+    ds = MMFiDataset(mmfi_root, {"S01": ["A01"]})
+    assert len(ds) == 24
+    item = ds[3]    # frame 4 has injected NaNs
+    csi = item["input_wifi-csi"]
+    assert csi.shape == (3, 114, 10)
+    assert np.isfinite(csi).all()
+    assert 0.0 <= csi.min() and csi.max() <= 1.0
+    assert csi.min() == 0.0 and csi.max() == 1.0   # min-max normalized
+    assert item["output"].shape == (17, 3)
+
+
+def test_materialize_and_cache(mmfi_root, tmp_path):
+    ds = MMFiDataset(mmfi_root, {"S01": ["A01", "A02"]})
+    cache = str(tmp_path / "cache.npz")
+    csi, kp = ds.materialize(cache)
+    assert csi.shape == (48, 3, 114, 10) and kp.shape == (48, 17, 3)
+    csi2, kp2 = ds.materialize(cache)   # from cache
+    np.testing.assert_array_equal(csi, csi2)
+    # item-level agreement
+    np.testing.assert_allclose(ds[5]["input_wifi-csi"], csi[5], rtol=1e-6)
+
+
+def test_split_val_test_sklearn_parity():
+    from sklearn.model_selection import train_test_split
+    vi, ti = split_val_test(100)
+    ref_v, ref_t = train_test_split(np.arange(100), test_size=0.5,
+                                    random_state=41)
+    np.testing.assert_array_equal(vi, ref_v)
+    np.testing.assert_array_equal(ti, ref_t)
+
+
+def test_root_relative_metrics():
+    rng = np.random.default_rng(0)
+    target = rng.standard_normal((8, 17, 3)).astype(np.float32)
+    # global translation must not affect either metric
+    pred = target + np.array([5.0, -3.0, 2.0], np.float32)
+    pck = root_relative_pck(jnp.asarray(pred), jnp.asarray(target))
+    assert pck[0.2] == 1.0
+    assert float(root_aligned_mpjpe(jnp.asarray(pred),
+                                    jnp.asarray(target))) < 1e-5
+
+
+def test_pa_mpjpe_invariances():
+    rng = np.random.default_rng(1)
+    target = rng.standard_normal((4, 17, 3)).astype(np.float32)
+    # rotation + scale + translation of the target should align perfectly
+    theta = 0.7
+    rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                    [np.sin(theta), np.cos(theta), 0],
+                    [0, 0, 1]], np.float32)
+    pred = 1.7 * target @ rot.T + np.array([1.0, 2.0, 3.0], np.float32)
+    err = float(pa_mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+    assert err < 1e-4, err
+    # and the aligned points match the target
+    aligned = similarity_transform(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(np.asarray(aligned), target, atol=1e-4)
+
+
+def test_mmfi_model_shapes():
+    model = WiFlowMMFiModel(MMFiModelConfig(compute_dtype="float32",
+                                            dropout=0.0, conv_dropout=0.0))
+    x = jnp.zeros((2, 3, 114, 10))
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (2, 17, 3)
+    n = sum(np.size(p) for p in jax.tree.leaves(v["params"]))
+    # ref README.md:234 reports 1.06M params for WiFlow on MM-Fi
+    assert 950_000 < n < 1_150_000, n
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_mmfi_model_parity_with_reference():
+    """Same weights -> same outputs as the reference torch model."""
+    path = os.path.join(REFERENCE_DIR, "cross_dataset_test/WiFlow/wiflow.py")
+    spec = importlib.util.spec_from_file_location("ref_wiflow_mmfi", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_wiflow_mmfi"] = mod
+    # the script does `from mmfi import ...` assuming its parent dir on path
+    sys.path.insert(0, os.path.join(REFERENCE_DIR, "cross_dataset_test"))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(0)
+    tmodel = mod.CSIPoseEstimationModel(dropout=0.0)
+    tmodel.eval()
+    cfg = MMFiModelConfig(compute_dtype="float32", dropout=0.0,
+                          conv_dropout=0.0)
+    variables = from_torch_state_dict(tmodel.state_dict(),
+                                      spec=wiflow_mmfi_spec(cfg))
+    jmodel = WiFlowMMFiModel(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 3, 114, 10)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = jmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mmfi_smoke_training(mmfi_root, tmp_path):
+    """2-epoch end-to-end MM-Fi training with root-relative metrics."""
+    import dataclasses
+
+    from wiflow_tpu.core.config import (
+        Config, MMFI_SKELETON_CONNECTIONS, MeshConfig, OptimConfig,
+        TrainConfig,
+    )
+    from wiflow_tpu.metrics.mmfi_metrics import (
+        root_aligned_mpjpe, root_relative_pck_fractions,
+    )
+    from wiflow_tpu.train.loop import train_pose_model
+
+    ds = MMFiDataset(mmfi_root, {"S01": ["A01", "A02"], "S02": ["A01"]})
+    csi, kp = ds.materialize()
+    cfg = Config(train=TrainConfig(batch_size=16, num_epochs=2,
+                                   optim=OptimConfig(lr=1e-3)),
+                 mesh=MeshConfig(num_devices=4))
+    model = WiFlowMMFiModel(MMFiModelConfig(compute_dtype="float32",
+                                            dropout=0.1, conv_dropout=0.1))
+    res = train_pose_model(
+        (csi[:48], kp[:48]), (csi[48:60], kp[48:60]), (csi[60:], kp[60:]),
+        cfg, str(tmp_path / "mmfi_run"), model=model,
+        connections=MMFI_SKELETON_CONNECTIONS,
+        pck_fn=root_relative_pck_fractions, mpe_fn=root_aligned_mpjpe,
+        monitor="pck", verbose=False)
+    assert len(res.history["train_loss"]) == 2
+    assert np.isfinite(res.test_metrics["mpe"])
+    assert res.predictions.shape[1:] == (17, 3)

@@ -27,12 +27,15 @@ KEYPOINT_NAMES = {
     10: "L_Knee", 11: "L_Ankle", 12: "R_Hip", 13: "R_Knee", 14: "R_Ankle",
 }
 
-# MM-Fi 17-keypoint skeleton (ref: /root/reference/cross_dataset_test/
-# WiFlow/wiflow.py:544-551).
+# MM-Fi 17-keypoint skeleton: spine/head, legs from bottom torso, arms
+# from neck base (ref: /root/reference/cross_dataset_test/WiFlow/
+# wiflow.py:544-551).
 MMFI_SKELETON_CONNECTIONS: Tuple[Tuple[int, int], ...] = (
-    (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6),
     (0, 7), (7, 8), (8, 9), (9, 10),
-    (8, 11), (11, 12), (12, 13), (8, 14), (14, 15), (15, 16),
+    (0, 1), (1, 2), (2, 3),
+    (0, 4), (4, 5), (5, 6),
+    (9, 14), (14, 15), (15, 16),
+    (9, 11), (11, 12), (12, 13),
 )
 
 

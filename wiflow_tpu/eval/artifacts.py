@@ -155,7 +155,10 @@ def plot_training_history(history: Dict[str, list], output_dir: str) -> str:
 def write_all_artifacts(result, output_dir: str,
                         keypoint_scale: float = 1000.0,
                         make_videos: bool = True,
-                        max_video_frames: int = 720) -> Dict[str, str]:
+                        max_video_frames: int = 720,
+                        connections=None,
+                        keypoint_names: Optional[Dict[int, str]] = None
+                        ) -> Dict[str, str]:
     """Full artifact dump for a TrainResult (train.py:496-572 surface)."""
     os.makedirs(output_dir, exist_ok=True)
     paths = {}
@@ -163,7 +166,8 @@ def write_all_artifacts(result, output_dir: str,
         result.targets, result.predictions,
         os.path.join(output_dir, "test_predictions.csv"), keypoint_scale)
     stats = calculate_keypoint_errors(
-        result.targets[:1000], result.predictions[:1000], keypoint_scale)
+        result.targets[:1000], result.predictions[:1000], keypoint_scale,
+        names=keypoint_names)
     stats_path = os.path.join(output_dir, "keypoint_error_stats.csv")
     stats.to_csv(stats_path)
     paths["error_stats"] = stats_path
@@ -176,21 +180,27 @@ def write_all_artifacts(result, output_dir: str,
 
     if make_videos:
         try:
+            from wiflow_tpu.core.config import SKELETON_CONNECTIONS
             from wiflow_tpu.eval.video import (
                 create_pose_animation, create_side_by_side_video,
             )
+            conn = connections if connections is not None \
+                else SKELETON_CONNECTIONS
             videos = os.path.join(output_dir, "videos")
             os.makedirs(videos, exist_ok=True)
             n = min(max_video_frames, len(result.predictions))
+            # 3-D keypoints (MM-Fi) are drawn in the x/y plane
+            t2 = result.targets[:n][..., :2]
+            p2 = result.predictions[:n][..., :2]
             paths["video_true"] = create_pose_animation(
-                result.targets[:n], os.path.join(videos, "true_poses.mp4"),
-                keypoint_scale)
+                t2, os.path.join(videos, "true_poses.mp4"),
+                keypoint_scale, connections=conn)
             paths["video_pred"] = create_pose_animation(
-                result.predictions[:n],
-                os.path.join(videos, "predicted_poses.mp4"), keypoint_scale)
+                p2, os.path.join(videos, "predicted_poses.mp4"),
+                keypoint_scale, connections=conn)
             paths["video_comparison"] = create_side_by_side_video(
-                result.targets[:n], result.predictions[:n],
-                os.path.join(videos, "comparison_poses.mp4"), keypoint_scale)
+                t2, p2, os.path.join(videos, "comparison_poses.mp4"),
+                keypoint_scale, connections=conn)
         except ImportError:
             pass  # opencv unavailable: CSVs/plots still complete
     return paths

@@ -76,8 +76,9 @@ def create_pose_animation(keypoints: np.ndarray, output_file: str,
     """Single-skeleton animation of a [N, K, 2] sequence."""
     import cv2
 
-    kp = np.asarray(keypoints, np.float64).reshape(
-        len(keypoints), -1, 2) * keypoint_scale
+    kp = np.asarray(keypoints, np.float64)
+    kp = kp.reshape(len(kp), -1, kp.shape[-1] if kp.ndim == 3 else 2)
+    kp = kp[..., :2] * keypoint_scale
     to_px = _fit_transform(kp, size)
     writer = cv2.VideoWriter(output_file,
                              cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
@@ -102,8 +103,10 @@ def create_side_by_side_video(true_kp: np.ndarray, pred_kp: np.ndarray,
     import cv2
 
     n = min(len(true_kp), len(pred_kp))
-    t = np.asarray(true_kp[:n], np.float64).reshape(n, -1, 2) * keypoint_scale
-    p = np.asarray(pred_kp[:n], np.float64).reshape(n, -1, 2) * keypoint_scale
+    t = np.asarray(true_kp[:n], np.float64)
+    t = t.reshape(n, -1, t.shape[-1] if t.ndim == 3 else 2)[..., :2] * keypoint_scale
+    p = np.asarray(pred_kp[:n], np.float64)
+    p = p.reshape(n, -1, p.shape[-1] if p.ndim == 3 else 2)[..., :2] * keypoint_scale
     to_px = _fit_transform(np.concatenate([t, p]), panel)
 
     size = (panel[0] * 2, panel[1])

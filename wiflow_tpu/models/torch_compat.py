@@ -156,6 +156,81 @@ def wiflow_spec(cfg: ModelConfig = ModelConfig()) -> List[Spec]:
     return specs
 
 
+def wiflow_mmfi_spec(cfg=None) -> List[Spec]:
+    """Spec for the MM-Fi variant (ref cross_dataset_test/WiFlow/
+    wiflow.py:441-530): 342-ch TCN groups 18, tcn_proj, `att` (not
+    `attention`), final_conv head."""
+    from wiflow_tpu.models.wiflow_mmfi import MMFiModelConfig
+    cfg = cfg or MMFiModelConfig()
+    specs: List[Spec] = []
+    g = cfg.tcn_groups
+
+    n_in = cfg.input_channels
+    for i, n_out in enumerate(cfg.tcn_channels):
+        tp = f"tcn.network.{i}"
+        fp = ("tcn", f"network_{i}")
+        grouped = lambda w, groups=g: _grouped(w, groups)  # noqa: E731
+        specs += [
+            (f"{tp}.conv1_group.weight", "params",
+             fp + ("conv1_group_weight",), grouped, _grouped_inv),
+            (f"{tp}.conv1_pw.weight", "params",
+             fp + ("conv1_pw_weight",), _pw1d, _pw1d_inv),
+            (f"{tp}.conv2_group.weight", "params",
+             fp + ("conv2_group_weight",), grouped, _grouped_inv),
+            (f"{tp}.conv2_pw.weight", "params",
+             fp + ("conv2_pw_weight",), _pw1d, _pw1d_inv),
+        ]
+        for bn in ("bn1_group", "bn1_pw", "bn2_group", "bn2_pw"):
+            specs += _bn_specs(f"{tp}.{bn}", fp + (bn,))
+        if n_in != n_out:
+            specs.append((f"{tp}.downsample.0.weight", "params",
+                          fp + ("downsample_weight",), _pw1d, _pw1d_inv))
+            specs += _bn_specs(f"{tp}.downsample.1", fp + ("downsample_bn",))
+        n_in = n_out
+
+    specs.append(("tcn_proj.0.weight", "params", ("tcn_proj_weight",),
+                  _pw1d, _pw1d_inv))
+    specs += _bn_specs("tcn_proj.1", ("tcn_proj_bn",))
+
+    def conv_block(torch_prefix: str, flax_name: str) -> None:
+        fp = (flax_name,)
+        for idx, tidx in ((1, 0), (2, 4), (3, 8)):
+            specs.append((f"{torch_prefix}.block.{tidx}.weight", "params",
+                          fp + (f"conv{idx}_weight",), _conv1x3, _conv1x3_inv))
+            specs.append((f"{torch_prefix}.block.{tidx}.bias", "params",
+                          fp + (f"conv{idx}_bias",), _ident, _ident))
+            specs.extend(_bn_specs(f"{torch_prefix}.block.{tidx + 1}",
+                                   fp + (f"bn{idx}",)))
+        specs.append((f"{torch_prefix}.downsample.0.weight", "params",
+                      fp + ("downsample_weight",), _conv1x1, _conv1x1_inv))
+        specs.extend(_bn_specs(f"{torch_prefix}.downsample.1",
+                               fp + ("downsample_bn",)))
+
+    conv_block("up", "up")
+    for j in range(len(cfg.conv_channels)):
+        conv_block(f"residual_blocks.{j}", f"residual_blocks_{j}")
+
+    for axis in ("width_axis", "height_axis"):
+        tp = f"att.{axis}"
+        fp = ("attention", axis)
+        specs.append((f"{tp}.qkv_transform.weight", "params",
+                      fp + ("qkv_weight",), _pw1d, _pw1d_inv))
+        specs += _bn_specs(f"{tp}.bn_qkv", fp + ("bn_qkv",))
+        specs += _bn_specs(f"{tp}.bn_similarity", fp + ("bn_similarity",))
+        specs += _bn_specs(f"{tp}.bn_output", fp + ("bn_output",))
+
+    specs += [
+        ("final_conv.0.weight", "params", ("final_conv1_weight",),
+         _conv1x1, _conv1x1_inv),
+        ("final_conv.0.bias", "params", ("final_conv1_bias",), _ident, _ident),
+        ("final_conv.3.weight", "params", ("final_conv2_weight",),
+         _conv1x1, _conv1x1_inv),
+        ("final_conv.3.bias", "params", ("final_conv2_bias",), _ident, _ident),
+    ]
+    specs += _bn_specs("final_conv.1", ("final_bn",))
+    return specs
+
+
 def _set_path(tree: Dict[str, Any], path: Path, value: np.ndarray) -> None:
     node = tree
     for key in path[:-1]:
@@ -171,7 +246,8 @@ def _get_path(tree: Dict[str, Any], path: Path) -> np.ndarray:
 
 
 def from_torch_state_dict(state_dict: Dict[str, Any],
-                          cfg: ModelConfig = ModelConfig()) -> Dict[str, Any]:
+                          cfg: ModelConfig = ModelConfig(),
+                          spec: List[Spec] = None) -> Dict[str, Any]:
     """Convert a torch ``state_dict`` to flax ``{'params', 'batch_stats'}``."""
     # np.array(copy=True): torch buffers mutate in place during training, so
     # aliasing them here would silently corrupt the converted tree.
@@ -180,7 +256,7 @@ def from_torch_state_dict(state_dict: Dict[str, Any],
               for k, v in state_dict.items()}
     out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
     missing = []
-    for torch_key, coll, path, fwd, _ in wiflow_spec(cfg):
+    for torch_key, coll, path, fwd, _ in (spec or wiflow_spec(cfg)):
         if torch_key not in arrays:
             missing.append(torch_key)
             continue
@@ -192,10 +268,11 @@ def from_torch_state_dict(state_dict: Dict[str, Any],
 
 
 def to_torch_state_dict(variables: Dict[str, Any],
-                        cfg: ModelConfig = ModelConfig()) -> Dict[str, np.ndarray]:
+                        cfg: ModelConfig = ModelConfig(),
+                        spec: List[Spec] = None) -> Dict[str, np.ndarray]:
     """Export flax variables to a torch-layout ``state_dict`` of numpy arrays."""
     out: Dict[str, np.ndarray] = {}
-    for torch_key, coll, path, _, inv in wiflow_spec(cfg):
+    for torch_key, coll, path, _, inv in (spec or wiflow_spec(cfg)):
         out[torch_key] = inv(np.asarray(_get_path(variables[coll], path),
                                         np.float32))
     return out

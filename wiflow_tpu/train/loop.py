@@ -93,6 +93,9 @@ def train_pose_model(
     model=None,
     resume: bool = True,
     connections=None,
+    pck_fn=None,
+    mpe_fn=None,
+    monitor: str = "mpe",
     verbose: bool = True,
 ) -> TrainResult:
     """Train, validate with early stopping, then test with the best model."""
@@ -114,16 +117,21 @@ def train_pose_model(
     eval_batch = max(1, batch // 2)            # ref train.py:145
     accum = max(1, tc.grad_accum_steps)
 
+    # monitor: 'mpe' = min val MPE (trunk, train.py:361); 'pck' = max val
+    # PCK (MM-Fi variant, wiflow.py:1227)
+    assert monitor in ("mpe", "pck"), monitor
+    mode = "min" if monitor == "mpe" else "max"
+
     train_epoch, eval_epoch = make_step_fns(
         model, tx, tc.loss, mesh=mesh,
         use_augmentation=tc.use_augmentation, grad_accum_steps=accum,
-        connections=connections)
+        connections=connections, pck_fn=pck_fn, mpe_fn=mpe_fn)
 
     # --- init / resume ---------------------------------------------------
     state = create_train_state(model, tx, train_x[:1], seed=tc.seed)
     state = TrainState(*replicate(mesh, tuple(state)))
-    scheduler = ReduceLROnPlateau.from_config(tc.optim)
-    stopper = EarlyStopping(patience=tc.patience)
+    scheduler = ReduceLROnPlateau.from_config(tc.optim, mode=mode)
+    stopper = EarlyStopping(patience=tc.patience, mode=mode)
     history: Dict[str, list] = {k: [] for k in HISTORY_KEYS}
     best_variables = None
     start_epoch = 0
@@ -183,6 +191,7 @@ def train_pose_model(
         history["lr"].append(lr_used)
 
         val_mpe = float(vm["mpe"])
+        monitored = val_mpe if monitor == "mpe" else float(vm["pck"])
         if verbose:
             print(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.2f}s] "
                   f"train loss {float(tm['loss']):.4f} mpe {float(tm['mpe']):.4f} "
@@ -191,20 +200,20 @@ def train_pose_model(
                   f"| lr {lr_used:.6f}")
 
         prev_lr = scheduler.lr
-        new_lr = scheduler.step(val_mpe)
+        new_lr = scheduler.step(monitored)
         if new_lr != prev_lr:
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))
             if verbose:
                 print(f"  [plateau] lr -> {new_lr:.6f}")
 
-        if stopper.update(val_mpe, epoch):
+        if stopper.update(monitored, epoch):
             best_variables = jax.device_get(variables)
             save_best_model(output_dir, best_variables,
                             cfg.model if isinstance(model, WiFlowPoseModel)
                             else None)
             if verbose:
-                print(f"  [best] val MPE {val_mpe:.4f} -> saved "
+                print(f"  [best] val {monitor} {monitored:.4f} -> saved "
                       f"best_pose_model.*")
 
         epochs_run = epoch + 1

@@ -50,7 +50,11 @@ def get_learning_rate(opt_state: Tuple) -> float:
 
 @dataclasses.dataclass
 class ReduceLROnPlateau:
-    """torch ``ReduceLROnPlateau`` (mode='min', threshold_mode='rel')."""
+    """torch ``ReduceLROnPlateau`` (threshold_mode='rel').
+
+    ``mode='min'`` for the main trunk (val MPE, train.py:112-121);
+    ``mode='max'`` for the MM-Fi variant (val PCK, wiflow.py:1225-1233).
+    """
 
     lr: float
     factor: float = 0.5
@@ -59,22 +63,32 @@ class ReduceLROnPlateau:
     cooldown: int = 1
     min_lr: float = 0.0
     eps: float = 1e-8
+    mode: str = "min"
 
-    best: float = float("inf")
+    best: float = None
     num_bad_epochs: int = 0
     cooldown_counter: int = 0
 
+    def __post_init__(self):
+        if self.best is None:
+            self.best = float("inf") if self.mode == "min" else float("-inf")
+
     @classmethod
-    def from_config(cls, cfg: OptimConfig) -> "ReduceLROnPlateau":
+    def from_config(cls, cfg: OptimConfig, mode: str = "min") -> "ReduceLROnPlateau":
         return cls(lr=cfg.lr, factor=cfg.plateau_factor,
                    patience=cfg.plateau_patience,
                    threshold=cfg.plateau_threshold,
                    cooldown=cfg.plateau_cooldown,
-                   min_lr=cfg.lr * cfg.min_lr_ratio)
+                   min_lr=cfg.lr * cfg.min_lr_ratio, mode=mode)
+
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric: float) -> float:
         """Feed the epoch's val metric; returns the (possibly reduced) lr."""
-        if metric < self.best * (1.0 - self.threshold):
+        if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
         else:
@@ -101,16 +115,24 @@ class ReduceLROnPlateau:
 
 @dataclasses.dataclass
 class EarlyStopping:
-    """Strict-improvement early stop on val MPE (train.py:361-384)."""
+    """Strict-improvement early stop (val MPE min, train.py:361-384;
+    val PCK max in the MM-Fi variant, wiflow.py:1227-1247)."""
 
     patience: int = 5
-    best: float = float("inf")
+    mode: str = "min"
+    best: float = None
     counter: int = 0
     best_epoch: int = -1
 
+    def __post_init__(self):
+        if self.best is None:
+            self.best = float("inf") if self.mode == "min" else float("-inf")
+
     def update(self, metric: float, epoch: int) -> bool:
         """Returns True when this epoch is a new best."""
-        if metric < self.best:
+        improved = (metric < self.best if self.mode == "min"
+                    else metric > self.best)
+        if improved:
             self.best = metric
             self.best_epoch = epoch
             self.counter = 0

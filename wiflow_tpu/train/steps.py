@@ -60,6 +60,8 @@ def make_step_fns(
     use_augmentation: bool = False,
     grad_accum_steps: int = 1,
     connections=None,
+    pck_fn=None,
+    mpe_fn=None,
 ):
     """Build the jitted epoch-level functions.
 
@@ -70,6 +72,13 @@ def make_step_fns(
           -> ({metric: scalar, pck_curve: [5]}, preds [nb*bs, K, D])
     """
     loss_kwargs = {} if connections is None else {"connections": connections}
+    # metric functions are pluggable: Setting 1 uses torso-normalized PCK +
+    # plain MPJPE (utils/metrics.py); MM-Fi uses root-relative variants
+    # (wiflow.py:610-643)
+    if pck_fn is None:
+        pck_fn = pck_correct_fractions
+    if mpe_fn is None:
+        mpe_fn = mpjpe
     data_sharding = (NamedSharding(mesh, P("data"))
                      if mesh is not None and mesh.size > 1 else None)
     # explicit in/out shardings keep the state's sharding identical across
@@ -105,9 +114,9 @@ def make_step_fns(
                     forward_train, has_aux=True)(
                         state.params, batch_stats, x_i, y_i, k)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                pck = pck_correct_fractions(out, y_i, (0.2, 0.5))
+                pck = pck_fn(out, y_i, (0.2, 0.5))
                 m = {"loss": loss, "position": parts["position"],
-                     "bone": parts["bone"], "mpe": mpjpe(out, y_i),
+                     "bone": parts["bone"], "mpe": mpe_fn(out, y_i),
                      "pck": pck[0], "pck50": pck[1]}
                 return (grads_acc, bs, i + 1), m
 
@@ -120,9 +129,9 @@ def make_step_fns(
             (loss, (batch_stats, out, parts)), grads = jax.value_and_grad(
                 forward_train, has_aux=True)(
                     state.params, state.batch_stats, xb, yb, key)
-            pck = pck_correct_fractions(out, yb, (0.2, 0.5))
+            pck = pck_fn(out, yb, (0.2, 0.5))
             metrics = {"loss": loss, "position": parts["position"],
-                       "bone": parts["bone"], "mpe": mpjpe(out, yb),
+                       "bone": parts["bone"], "mpe": mpe_fn(out, yb),
                        "pck": pck[0], "pck50": pck[1]}
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -164,9 +173,9 @@ def make_step_fns(
             yb = constrain(jnp.take(y, idx, axis=0))
             out = model.apply(variables, xb, train=False)
             total, parts = pose_loss(out, yb, loss_cfg, **loss_kwargs)
-            pck_curve = pck_correct_fractions(out, yb, TEST_THRESHOLDS)
+            pck_curve = pck_fn(out, yb, TEST_THRESHOLDS)
             m = {"loss": total, "position": parts["position"],
-                 "bone": parts["bone"], "mpe": mpjpe(out, yb),
+                 "bone": parts["bone"], "mpe": mpe_fn(out, yb),
                  "pck": pck_curve[1], "pck50": pck_curve[4],
                  "pck_curve": pck_curve}
             return None, (m, out)
