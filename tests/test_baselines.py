@@ -1,0 +1,175 @@
+"""Baseline model suite: shapes, param budgets, PAM machinery, smoke train."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiflow_tpu.data.pam import (
+    keypoints_to_pam, pam_confidence_mse, pam_to_keypoints,
+)
+from wiflow_tpu.models.baselines import (
+    HPELiMMFi, HPELiNet, Performer, PerUnet, WiSPPN, WPformer,
+    convert_csi_format, extract_keypoints_from_pam,
+)
+
+
+def _init_and_run(model, x, seed=0):
+    v = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(seed)}, x)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+    n_params = sum(np.size(p) for p in jax.tree.leaves(v["params"]))
+    return v, out, n_params
+
+
+def test_hpeli_shapes_and_params():
+    model = HPELiNet(compute_dtype="float32")
+    x = jnp.zeros((2, 540, 20))
+    _, out, n = _init_and_run(model, x)
+    assert out.shape == (2, 15, 2)
+    # ref README.md:118 reports 0.83M params for HPE-Li
+    assert 600_000 < n < 1_100_000, n
+
+
+def test_hpeli_mmfi_shapes():
+    model = HPELiMMFi(compute_dtype="float32")
+    x = jnp.zeros((2, 3, 114, 10))
+    _, out, _ = _init_and_run(model, x)
+    assert out.shape == (2, 17, 2)
+
+
+def test_convert_csi_format_matches_torch():
+    import torch
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 540, 20)).astype(np.float32)
+    t = torch.from_numpy(x)
+    ref = t.view(3, 2, 270, 20).view(3, 2, 30, 3, 3, 20) \
+        .permute(0, 1, 5, 2, 3, 4).contiguous().view(3, 600, 3, 6).numpy()
+    out = np.asarray(convert_csi_format(jnp.asarray(x)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_wisppn_shapes_and_params():
+    model = WiSPPN(compute_dtype="float32")
+    x = jnp.zeros((1, 540, 20))
+    _, out, n = _init_and_run(model, x)
+    assert out.shape == (1, 2, 15, 15)
+    # ref README.md:118: 121.5M params
+    assert 80e6 < n < 160e6, n
+
+
+def test_perunet_shapes_and_params():
+    model = PerUnet(compute_dtype="float32", performer_exact=True)
+    x = jnp.zeros((1, 540, 20))
+    _, out, n = _init_and_run(model, x)
+    assert out.shape == (1, 2, 15, 15)
+    # ref README.md:118: 309M params
+    assert 200e6 < n < 400e6, n
+
+
+def test_wpformer_shapes_and_params():
+    model = WPformer(compute_dtype="float32")
+    x = jnp.zeros((1, 540, 20))
+    _, out, n = _init_and_run(model, x)
+    assert out.shape == (1, 15, 2)
+    # ref README.md:118: 10.04M params (w/o the transformer pos-emb detail
+    # differences we allow a generous band)
+    assert 6e6 < n < 16e6, n
+
+
+def test_performer_attention_unbiasedness():
+    """FAVOR+ approximates exact softmax attention (same weights)."""
+    from wiflow_tpu.models.baselines.performer import PerformerAttention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64)).astype(np.float32) * 0.3)
+    exact = PerformerAttention(64, heads=2, dim_head=16, exact=True)
+    favor = PerformerAttention(64, heads=2, dim_head=16, exact=False)
+    v = exact.init({"params": jax.random.key(0)}, x)
+    vf = favor.init({"params": jax.random.key(0)}, x)
+    out_exact = exact.apply(v, x)
+    out_favor = favor.apply({"params": v["params"], "favor": vf["favor"]}, x)
+    err = float(jnp.mean(jnp.abs(out_exact - out_favor)))
+    scale = float(jnp.mean(jnp.abs(out_exact))) + 1e-6
+    assert err / scale < 0.15, (err, scale)
+
+
+def test_pam_roundtrip_and_loss():
+    rng = np.random.default_rng(1)
+    kp = rng.standard_normal((4, 15, 2)).astype(np.float32)
+    pam = keypoints_to_pam(kp)
+    assert pam.shape == (4, 4, 15, 15)
+    pred = jnp.asarray(pam[:, :2])
+    kp_p, kp_t = pam_to_keypoints(pred, jnp.asarray(pam))
+    np.testing.assert_allclose(np.asarray(kp_p), kp, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(kp_t), kp, rtol=1e-6)
+    loss, parts = pam_confidence_mse(pred, jnp.asarray(pam))
+    assert float(loss) == 0.0
+    loss2, _ = pam_confidence_mse(pred + 0.1, jnp.asarray(pam))
+    np.testing.assert_allclose(float(loss2), 0.01, rtol=1e-4)
+
+
+def test_extract_keypoints_matches_torch_loop():
+    import torch
+    rng = np.random.default_rng(2)
+    pam = rng.standard_normal((3, 2, 15, 15)).astype(np.float32)
+    ref = np.zeros((3, 15, 2), np.float32)
+    for b in range(3):
+        for k in range(15):
+            ref[b, k, 0] = pam[b, 0, k, k]
+            ref[b, k, 1] = pam[b, 1, k, k]
+    out = np.asarray(extract_keypoints_from_pam(jnp.asarray(pam)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_hpeli_smoke_training(tmp_path):
+    """2-epoch keypoint-label baseline training via the shared engine."""
+    from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
+    from wiflow_tpu.train.loop import train_pose_model
+
+    rng = np.random.default_rng(0)
+    def mk(n):
+        kp = rng.standard_normal((n, 15, 2)).astype(np.float32) * 0.1
+        csi = (kp.reshape(n, 30) @ rng.standard_normal((30, 540 * 20))
+               .astype(np.float32) * 0.1).reshape(n, 540, 20)
+        return csi, kp
+    cfg = Config(train=TrainConfig(batch_size=16, num_epochs=2,
+                                   scan_epochs=False,
+                                   optim=OptimConfig(lr=1e-3)),
+                 mesh=MeshConfig(num_devices=2))
+    res = train_pose_model(mk(64), mk(16), mk(16), cfg,
+                           str(tmp_path / "hpeli"),
+                           model=HPELiNet(compute_dtype="float32"),
+                           resume=False, verbose=False)
+    assert np.isfinite(res.history["train_loss"][-1])
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+
+
+def test_pam_smoke_training(tmp_path):
+    """2-epoch PAM-label baseline (WiSPPN, small) via the shared engine."""
+    from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
+    from wiflow_tpu.train.loop import train_pose_model
+
+    rng = np.random.default_rng(0)
+    def mk(n):
+        kp = rng.standard_normal((n, 15, 2)).astype(np.float32) * 0.1
+        csi = rng.standard_normal((n, 540, 20)).astype(np.float32)
+        return csi, keypoints_to_pam(kp)
+    model = WiSPPN(layers=(1, 1, 1, 1), widths=(32, 32, 64, 64),
+                   compute_dtype="float32")
+    cfg = Config(train=TrainConfig(
+        batch_size=8, num_epochs=2, scan_epochs=False,
+        optim=OptimConfig(lr=1e-3, kind="adam", schedule="multistep",
+                          milestones=(1,), gamma=0.5)),
+        mesh=MeshConfig(num_devices=2))
+    res = train_pose_model(mk(32), mk(8), mk(8), cfg,
+                           str(tmp_path / "wisppn"), model=model,
+                           resume=False, loss_fn=pam_confidence_mse,
+                           to_keypoints=pam_to_keypoints, verbose=False)
+    assert np.isfinite(res.history["train_loss"][-1])
+    assert res.predictions.shape[1:] == (15, 2)
+    # multistep schedule applied after epoch 1
+    assert res.history["lr"][0] == pytest.approx(1e-3)

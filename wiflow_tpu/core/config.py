@@ -94,6 +94,17 @@ class OptimConfig:
     weight_decay: float = 5e-5              # train.py:108 hardcodes 5e-5
     betas: Tuple[float, float] = (0.9, 0.999)
     grad_clip_norm: float = 1.0             # train.py:235
+    # optimizer family: 'adamw' (trunk), 'adam' (WiSPPN/PerUnet),
+    # 'sgd' (WPformer, momentum 0.9 — model.py:930-935)
+    kind: str = "adamw"
+    momentum: float = 0.9
+    # schedule: 'plateau' (trunk), 'linear_decay' (WPformer LambdaLR),
+    # 'multistep' (WiSPPN)
+    schedule: str = "plateau"
+    decay_start: int = 20
+    decay_end: int = 50
+    milestones: Tuple[int, ...] = (20, 40)
+    gamma: float = 0.1
     # ReduceLROnPlateau semantics, matched to torch defaults + train.py:112-121
     plateau_factor: float = 0.5
     plateau_patience: int = 3

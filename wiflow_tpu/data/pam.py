@@ -1,0 +1,98 @@
+"""Pose-adjacency-matrix (PAM) labels for the WiSPPN-family baselines.
+
+The reference baselines B1-B3 train against PAM ``.mat`` labels
+(``keypoints_pam_data/wisppn_labels{1..5}/{file_id}_dual_cropped_frame_
+{frame:06d}.mat``, key ``jointsMatrix`` [>=3, K, K]) with confidence-
+weighted MSE (ref /root/reference/baseline/WiSPPN/wisppn.py:978-1000,
+baseline/PerUnet/perunet.py:137-147).  Keypoints live on the PAM diagonal.
+
+This module provides:
+  * ``load_pam_mat``: .mat loader (scipy, h5py fallback for v7.3),
+  * ``keypoints_to_pam``: construct PAM labels from plain keypoints
+    (diagonal = coords, off-diagonal = pairwise midpoints, unit
+    confidence) — used when the label directory is absent, so the PAM
+    baselines run on any keypoint dataset including synthetic ones,
+  * ``pam_confidence_mse``: the baselines' training loss,
+  * ``pam_to_keypoints``: diagonal extraction for evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_pam_mat(path: str, key: str = "jointsMatrix") -> np.ndarray:
+    """Load a PAM label matrix [C, K, K] from a .mat file."""
+    try:
+        import scipy.io as scio
+        return np.asarray(scio.loadmat(path)[key], np.float32)
+    except NotImplementedError:
+        # MATLAB v7.3 files are HDF5
+        import h5py
+        with h5py.File(path, "r") as f:
+            return np.asarray(f[key], np.float32).T
+
+
+def keypoints_to_pam(kp: np.ndarray, confidence: float = 1.0) -> np.ndarray:
+    """[N, K, C] keypoints -> [N, 2C, K, K] PAM labels (coords + conf)."""
+    kp = np.asarray(kp, np.float32)
+    n, k, c = kp.shape
+    mid = 0.5 * (kp[:, :, None, :] + kp[:, None, :, :])     # [N, K, K, C]
+    eye = np.eye(k, dtype=np.float32)[None, :, :, None]
+    pam = mid * (1 - eye) + kp[:, :, None, :] * eye
+    pam = np.transpose(pam, (0, 3, 1, 2))                   # [N, C, K, K]
+    conf = np.full_like(pam, confidence)
+    return np.concatenate([pam, conf], axis=1)
+
+
+def pam_confidence_mse(pred: jax.Array, label: jax.Array):
+    """Confidence-weighted MSE (ref wisppn.py:988-1000).
+
+    ``pred`` [B, C, K, K]; ``label`` [B, >=C+1, K, K] with coords in the
+    first C channels and confidence in the rest (a single confidence
+    channel is broadcast across coords, mirroring wisppn.py:983-987).
+    """
+    c = pred.shape[1]
+    xy = label[:, :c].astype(jnp.float32)
+    conf = label[:, c:]
+    if conf.shape[1] == 1:
+        conf = jnp.repeat(conf, c, axis=1)
+    conf = conf[:, :c].astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    loss = jnp.mean((conf * pred - conf * xy) ** 2)
+    return loss, {"position": loss, "bone": jnp.zeros((), jnp.float32)}
+
+
+def pam_to_keypoints(pred: jax.Array, label: jax.Array):
+    """(pred PAM, PAM label) -> (pred kp, target kp) via diagonals."""
+    c = pred.shape[1]
+    pd = jnp.diagonal(pred, axis1=-2, axis2=-1)
+    td = jnp.diagonal(label[:, :c], axis1=-2, axis2=-1)
+    return jnp.swapaxes(pd, -1, -2), jnp.swapaxes(td, -1, -2)
+
+
+def load_pam_labels_for_windows(
+    pam_root: str, file_ids, window_to_file, window_to_frame,
+    indices: np.ndarray, subject_dirs: Optional[Dict[str, str]] = None,
+    num_keypoints: int = 15,
+) -> np.ndarray:
+    """Batch-load PAM labels following the reference's path convention
+    ``{pam_root}/wisppn_labels{subject}/{file_id}_dual_cropped_frame_
+    {frame:06d}.mat`` (ref baseline/PerUnet/perunet.py:137-147)."""
+    out = None
+    for row, idx in enumerate(np.asarray(indices)):
+        fid = file_ids[int(window_to_file[idx])]
+        frame = int(window_to_frame[idx])
+        subject = "".join(ch for ch in fid if ch.isdigit())[:1] or "1"
+        path = os.path.join(pam_root, f"wisppn_labels{subject}",
+                            f"{fid}_dual_cropped_frame_{frame:06d}.mat")
+        mat = load_pam_mat(path)
+        if out is None:
+            out = np.zeros((len(indices), *mat.shape), np.float32)
+        out[row] = mat
+    return out

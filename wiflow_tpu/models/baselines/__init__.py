@@ -1,0 +1,7 @@
+from wiflow_tpu.models.baselines.hpeli import HPELiMMFi, HPELiNet, SKConv, SKUnit
+from wiflow_tpu.models.baselines.performer import Performer, PerformerAttention
+from wiflow_tpu.models.baselines.perunet import PerUnet, PerUnetMMFi
+from wiflow_tpu.models.baselines.wisppn import (
+    WiSPPN, convert_csi_format, extract_keypoints_from_pam,
+)
+from wiflow_tpu.models.baselines.wpformer import ChannelTransformer, WPformer

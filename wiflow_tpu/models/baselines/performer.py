@@ -1,0 +1,135 @@
+"""Performer attention (FAVOR+ linear attention) for the PerUnet baseline.
+
+The reference depends on the external ``performer_pytorch`` package
+(ref /root/reference/baseline/PerUnet/perunet.py:5, 383-391: dim 600,
+depth 3, heads 4, dim_head 64, causal=False).  We implement the method
+from scratch: multi-head attention whose softmax kernel is approximated by
+positive random features exp(w^T x - |x|^2 / 2)/sqrt(m)
+(Choromanski et al., "Rethinking Attention with Performers", ICLR'21).
+
+``exact=True`` computes true softmax attention instead — at PerUnet's
+sizes (N=576 tokens) the exact form is cheaper on TPU than the random
+feature map, and FAVOR+ is an unbiased estimator of it; the default stays
+FAVOR+ for behavioral parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def orthogonal_random_features(key: jax.Array, num_features: int,
+                               dim: int) -> jax.Array:
+    """Block-orthogonal Gaussian projection matrix [num_features, dim]."""
+    blocks = []
+    n_full = num_features // dim
+    for i in range(n_full + 1):
+        rows = dim if i < n_full else num_features - n_full * dim
+        if rows == 0:
+            break
+        g = jax.random.normal(jax.random.fold_in(key, i), (dim, dim))
+        q, _ = jnp.linalg.qr(g)
+        blocks.append(q[:rows])
+    w = jnp.concatenate(blocks, axis=0)
+    # renormalize rows to chi(dim) norms like iid gaussians
+    norms = jnp.sqrt(jnp.sum(
+        jax.random.normal(jax.random.fold_in(key, 10_000),
+                          (num_features, dim)) ** 2, axis=1))
+    return w * norms[:, None]
+
+
+def favor_features(x: jax.Array, proj: jax.Array, *, is_query: bool,
+                   eps: float = 1e-4) -> jax.Array:
+    """Positive softmax-kernel features phi(x) [.., N, M]."""
+    d = x.shape[-1]
+    x = x / (d ** 0.25)
+    wx = jnp.einsum("...nd,md->...nm", x, proj)
+    sq = 0.5 * jnp.sum(x * x, axis=-1, keepdims=True)
+    # stabilizer: subtract max per query (or global for keys)
+    if is_query:
+        stab = jnp.max(wx, axis=-1, keepdims=True)
+    else:
+        stab = jnp.max(wx, axis=(-2, -1), keepdims=True)
+    return (jnp.exp(wx - sq - stab) + eps) / math.sqrt(proj.shape[0])
+
+
+class PerformerAttention(nn.Module):
+    """One multi-head (linear or exact) self-attention layer."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 64
+    num_features: int = 256
+    exact: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        wq = self.param("wq", nn.initializers.xavier_uniform(),
+                        (self.dim, inner))
+        wk = self.param("wk", nn.initializers.xavier_uniform(),
+                        (self.dim, inner))
+        wv = self.param("wv", nn.initializers.xavier_uniform(),
+                        (self.dim, inner))
+        wo = self.param("wo", nn.initializers.xavier_uniform(),
+                        (inner, self.dim))
+
+        b, n, _ = x.shape
+        def split(w):
+            return (x @ w.astype(x.dtype)).reshape(b, n, h, dh).transpose(
+                0, 2, 1, 3)                               # [B, H, N, dh]
+        q, k, v = split(wq), split(wk), split(wv)
+
+        if self.exact:
+            logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) / math.sqrt(dh)
+            att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", att.astype(x.dtype), v)
+        else:
+            # fixed (redrawable) random projection, stored as a variable
+            proj_var = self.variable(
+                "favor", "projection",
+                lambda: orthogonal_random_features(
+                    jax.random.key(0), self.num_features, dh))
+            proj = proj_var.value
+            qf = favor_features(q.astype(jnp.float32), proj, is_query=True)
+            kf = favor_features(k.astype(jnp.float32), proj, is_query=False)
+            # linear attention: phi(q) (phi(k)^T v) / (phi(q) sum phi(k))
+            kv = jnp.einsum("bhnm,bhnd->bhmd", kf, v.astype(jnp.float32))
+            num = jnp.einsum("bhnm,bhmd->bhnd", qf, kv)
+            den = jnp.einsum("bhnm,bhm->bhn", qf, jnp.sum(kf, axis=-2))
+            out = (num / (den[..., None] + 1e-6)).astype(x.dtype)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return out @ wo.astype(x.dtype)
+
+
+class Performer(nn.Module):
+    """Pre-norm transformer stack with FAVOR+ attention + GELU MLP,
+    matching the performer_pytorch call signature used by the reference
+    (dim, depth, heads, dim_head, causal=False)."""
+
+    dim: int
+    depth: int = 3
+    heads: int = 4
+    dim_head: int = 64
+    mlp_ratio: int = 4
+    exact: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"ln_att_{i}")(x)
+            x = x + PerformerAttention(
+                self.dim, self.heads, self.dim_head, exact=self.exact,
+                name=f"att_{i}")(y)
+            y = nn.LayerNorm(name=f"ln_mlp_{i}")(x)
+            y = nn.Dense(self.dim * self.mlp_ratio, name=f"mlp_in_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.dim, name=f"mlp_out_{i}")(y)
+            x = x + y
+        return x

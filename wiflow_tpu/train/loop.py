@@ -38,8 +38,8 @@ from wiflow_tpu.parallel.mesh import (
     batch_sharding, make_mesh, replicate,
 )
 from wiflow_tpu.train.optim import (
-    EarlyStopping, ReduceLROnPlateau, get_learning_rate, make_optimizer,
-    set_learning_rate,
+    EarlyStopping, ReduceLROnPlateau, epoch_schedule_lr, get_learning_rate,
+    make_optimizer, set_learning_rate,
 )
 from wiflow_tpu.train.steps import (
     TEST_THRESHOLDS, TrainState, create_train_state, make_batch_indices,
@@ -95,6 +95,8 @@ def train_pose_model(
     connections=None,
     pck_fn=None,
     mpe_fn=None,
+    loss_fn=None,
+    to_keypoints=None,
     monitor: str = "mpe",
     verbose: bool = True,
 ) -> TrainResult:
@@ -125,7 +127,8 @@ def train_pose_model(
     train_epoch, eval_epoch = make_step_fns(
         model, tx, tc.loss, mesh=mesh,
         use_augmentation=tc.use_augmentation, grad_accum_steps=accum,
-        connections=connections, pck_fn=pck_fn, mpe_fn=mpe_fn)
+        connections=connections, pck_fn=pck_fn, mpe_fn=mpe_fn,
+        loss_fn=loss_fn, to_keypoints=to_keypoints, scan=tc.scan_epochs)
 
     # --- init / resume ---------------------------------------------------
     state = create_train_state(model, tx, train_x[:1], seed=tc.seed)
@@ -200,7 +203,11 @@ def train_pose_model(
                   f"| lr {lr_used:.6f}")
 
         prev_lr = scheduler.lr
-        new_lr = scheduler.step(monitored)
+        if tc.optim.schedule == "plateau":
+            new_lr = scheduler.step(monitored)
+        else:
+            new_lr = epoch_schedule_lr(tc.optim, epoch + 1)
+            scheduler.lr = new_lr
         if new_lr != prev_lr:
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr))
@@ -240,11 +247,10 @@ def train_pose_model(
         best_variables = jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats})
     best_dev = replicate(mesh, best_variables)
-    test_m, preds = eval_epoch(best_dev, test_x, test_y, test_idx)
+    test_m, (preds, targets) = eval_epoch(best_dev, test_x, test_y, test_idx)
     test_m = jax.device_get(test_m)
     preds = np.asarray(jax.device_get(preds))
-    targets = np.asarray(jax.device_get(
-        jnp.take(test_y, jnp.asarray(test_idx).reshape(-1), axis=0)))
+    targets = np.asarray(jax.device_get(targets))
 
     curve = np.asarray(test_m["pck_curve"], np.float64)
     test_metrics = {"loss": float(test_m["loss"]),

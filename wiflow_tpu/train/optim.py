@@ -26,14 +26,41 @@ from wiflow_tpu.core.config import OptimConfig
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """Optimizer per config: AdamW (trunk, train.py:105-110), plain Adam
+    (WiSPPN, wisppn.py:953) or SGD+momentum (WPformer, model.py:930-935)."""
+    if cfg.kind == "adamw":
+        inner = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay)
+    elif cfg.kind == "adam":
+        inner = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
+    elif cfg.kind == "sgd":
+        inner = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.lr, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer kind {cfg.kind!r}")
     return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr,
-            b1=cfg.betas[0], b2=cfg.betas[1],
-            weight_decay=cfg.weight_decay,
-        ),
-    )
+        optax.clip_by_global_norm(cfg.grad_clip_norm), inner)
+
+
+def epoch_schedule_lr(cfg: OptimConfig, epoch: int) -> float:
+    """Epoch-indexed LR schedules used by the baselines.
+
+    'linear_decay': constant until ``decay_start``, then linear to 0 at
+    ``decay_end`` (WPformer LambdaLR, ref model.py:936-942).
+    'multistep': lr * gamma ** (#milestones passed) (WiSPPN MultiStepLR,
+    ref wisppn.py:955).
+    """
+    if cfg.schedule == "linear_decay":
+        if epoch <= cfg.decay_start:
+            return cfg.lr
+        span = max(cfg.decay_end - cfg.decay_start, 1)
+        return cfg.lr * max(0.0, 1.0 - (epoch - cfg.decay_start) / span)
+    if cfg.schedule == "multistep":
+        k = sum(1 for m in cfg.milestones if epoch >= m)
+        return cfg.lr * cfg.gamma ** k
+    return cfg.lr
 
 
 def set_learning_rate(opt_state: Tuple, lr: float) -> Tuple:

@@ -62,6 +62,9 @@ def make_step_fns(
     connections=None,
     pck_fn=None,
     mpe_fn=None,
+    loss_fn=None,
+    to_keypoints=None,
+    scan: bool = True,
 ):
     """Build the jitted epoch-level functions.
 
@@ -69,7 +72,13 @@ def make_step_fns(
       train_epoch(state, x, y, batch_idx [nb, bs], key, aug: bool)
           -> (state, {metric: scalar})
       eval_epoch(variables, x, y, batch_idx [nb, bs])
-          -> ({metric: scalar, pck_curve: [5]}, preds [nb*bs, K, D])
+          -> ({metric: scalar, pck_curve: [5]}, (pred_kp, target_kp))
+
+    ``scan=True`` compiles the whole epoch as one ``lax.scan`` (fastest on
+    TPU: zero per-batch dispatch).  ``scan=False`` jits only the per-batch
+    step and loops in Python — XLA:CPU compiles While bodies ~10x slower
+    (measured 12s -> 128s on a conv-heavy baseline), so tests and CPU runs
+    prefer the loop.
     """
     loss_kwargs = {} if connections is None else {"connections": connections}
     # metric functions are pluggable: Setting 1 uses torso-normalized PCK +
@@ -79,6 +88,15 @@ def make_step_fns(
         pck_fn = pck_correct_fractions
     if mpe_fn is None:
         mpe_fn = mpjpe
+    # loss_fn(out, yb) -> (total, {'position', 'bone'}); PAM baselines use
+    # confidence-weighted MSE.  to_keypoints(out, yb) maps raw outputs +
+    # labels to keypoint pairs for the metrics (PAM models: diagonals).
+    if loss_fn is None:
+        def loss_fn(out, yb):
+            return pose_loss(out, yb, loss_cfg, **loss_kwargs)
+    if to_keypoints is None:
+        def to_keypoints(out, yb):
+            return out, yb
     data_sharding = (NamedSharding(mesh, P("data"))
                      if mesh is not None and mesh.size > 1 else None)
     # explicit in/out shardings keep the state's sharding identical across
@@ -96,7 +114,7 @@ def make_step_fns(
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, xb,
             train=True, mutable=["batch_stats"], rngs={"dropout": key})
-        total, parts = pose_loss(out, yb, loss_cfg, **loss_kwargs)
+        total, parts = loss_fn(out, yb)
         return total, (mut["batch_stats"], out, parts)
 
     def train_step(state: TrainState, xb, yb, key) -> Tuple[TrainState, Dict]:
@@ -114,9 +132,10 @@ def make_step_fns(
                     forward_train, has_aux=True)(
                         state.params, batch_stats, x_i, y_i, k)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                pck = pck_fn(out, y_i, (0.2, 0.5))
+                kp_p, kp_t = to_keypoints(out, y_i)
+                pck = pck_fn(kp_p, kp_t, (0.2, 0.5))
                 m = {"loss": loss, "position": parts["position"],
-                     "bone": parts["bone"], "mpe": mpe_fn(out, y_i),
+                     "bone": parts["bone"], "mpe": mpe_fn(kp_p, kp_t),
                      "pck": pck[0], "pck50": pck[1]}
                 return (grads_acc, bs, i + 1), m
 
@@ -129,9 +148,10 @@ def make_step_fns(
             (loss, (batch_stats, out, parts)), grads = jax.value_and_grad(
                 forward_train, has_aux=True)(
                     state.params, state.batch_stats, xb, yb, key)
-            pck = pck_fn(out, yb, (0.2, 0.5))
+            kp_p, kp_t = to_keypoints(out, yb)
+            pck = pck_fn(kp_p, kp_t, (0.2, 0.5))
             metrics = {"loss": loss, "position": parts["position"],
-                       "bone": parts["bone"], "mpe": mpe_fn(out, yb),
+                       "bone": parts["bone"], "mpe": mpe_fn(kp_p, kp_t),
                        "pck": pck[0], "pck50": pck[1]}
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -172,19 +192,73 @@ def make_step_fns(
             xb = constrain(jnp.take(x, idx, axis=0))
             yb = constrain(jnp.take(y, idx, axis=0))
             out = model.apply(variables, xb, train=False)
-            total, parts = pose_loss(out, yb, loss_cfg, **loss_kwargs)
-            pck_curve = pck_fn(out, yb, TEST_THRESHOLDS)
+            total, parts = loss_fn(out, yb)
+            kp_p, kp_t = to_keypoints(out, yb)
+            pck_curve = pck_fn(kp_p, kp_t, TEST_THRESHOLDS)
             m = {"loss": total, "position": parts["position"],
-                 "bone": parts["bone"], "mpe": mpe_fn(out, yb),
+                 "bone": parts["bone"], "mpe": mpe_fn(kp_p, kp_t),
                  "pck": pck_curve[1], "pck50": pck_curve[4],
                  "pck_curve": pck_curve}
-            return None, (m, out)
+            return None, (m, jnp.stack([kp_p, kp_t.astype(kp_p.dtype)]))
 
         _, (ms, preds) = jax.lax.scan(body, None, batch_idx)
         metrics = jax.tree.map(lambda v: jnp.mean(v, axis=0), ms)
-        return metrics, preds.reshape(-1, *preds.shape[2:])
+        # preds: [nb, 2, bs, K, D] -> (pred, target) each [nb*bs, K, D]
+        pk = preds[:, 0].reshape(-1, *preds.shape[3:])
+        tk = preds[:, 1].reshape(-1, *preds.shape[3:])
+        return metrics, (pk, tk)
 
-    return train_epoch, eval_epoch
+    if scan:
+        return train_epoch, eval_epoch
+
+    # ---- non-scan variants: jitted per-batch step, Python epoch loop ----
+    # (no explicit in_shardings: eagerly gathered batches carry whatever
+    # sharding the gather produced; constrain() redistributes inside)
+
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+    def one_step(state, xb, yb, key, augment: bool = False):
+        xb, yb = constrain(xb), constrain(yb)
+        if use_augmentation and augment:
+            xb = augment_batch(xb, jax.random.fold_in(key, 1))
+        return train_step(state, xb, yb, jax.random.fold_in(key, 2))
+
+    def train_epoch_loop(state, x, y, batch_idx, key, augment=False):
+        ms = []
+        for step_i in range(batch_idx.shape[0]):
+            xb = jnp.take(x, batch_idx[step_i], axis=0)
+            yb = jnp.take(y, batch_idx[step_i], axis=0)
+            state, m = one_step(state, xb, yb,
+                                jax.random.fold_in(key, step_i), augment)
+            ms.append(m)
+        metrics = jax.tree.map(lambda *v: jnp.mean(jnp.stack(v)), *ms)
+        return state, metrics
+
+    @jax.jit
+    def eval_batch(variables, xb, yb):
+        xb, yb = constrain(xb), constrain(yb)
+        out = model.apply(variables, xb, train=False)
+        total, parts = loss_fn(out, yb)
+        kp_p, kp_t = to_keypoints(out, yb)
+        pck_curve = pck_fn(kp_p, kp_t, TEST_THRESHOLDS)
+        m = {"loss": total, "position": parts["position"],
+             "bone": parts["bone"], "mpe": mpe_fn(kp_p, kp_t),
+             "pck": pck_curve[1], "pck50": pck_curve[4],
+             "pck_curve": pck_curve}
+        return m, (kp_p, kp_t.astype(kp_p.dtype))
+
+    def eval_epoch_loop(variables, x, y, batch_idx):
+        ms, pks, tks = [], [], []
+        for step_i in range(batch_idx.shape[0]):
+            xb = jnp.take(x, batch_idx[step_i], axis=0)
+            yb = jnp.take(y, batch_idx[step_i], axis=0)
+            m, (kp_p, kp_t) = eval_batch(variables, xb, yb)
+            ms.append(m)
+            pks.append(kp_p)
+            tks.append(kp_t)
+        metrics = jax.tree.map(lambda *v: jnp.mean(jnp.stack(v), axis=0), *ms)
+        return metrics, (jnp.concatenate(pks), jnp.concatenate(tks))
+
+    return train_epoch_loop, eval_epoch_loop
 
 
 def make_batch_indices(num_samples: int, batch_size: int,
