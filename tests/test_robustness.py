@@ -1,0 +1,139 @@
+"""Robustness kit + FLOPs reporting + streaming inference tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiflow_tpu.robustness import (
+    StackedDenoisingAE, add_awgn, add_awgn_jax, add_salt_and_pepper_jax,
+    add_salt_and_pepper_noise, evaluate_robustness, gaussian_filter,
+    mean_filter, train_denoiser_stage,
+)
+from wiflow_tpu.utils.flops import profile_model, count_params
+
+
+def test_awgn_scale():
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 3, 20, 10)).astype(np.float32)   # range ~1
+    noisy = add_awgn(x, 0.1, rng)
+    resid = noisy - x
+    assert 0.07 < resid.std() < 0.13
+
+
+def test_salt_pepper_fraction():
+    rng = np.random.default_rng(1)
+    x = np.full((100, 100), 0.5, np.float32)
+    noisy = add_salt_and_pepper_noise(x, 0.2, rng)
+    frac = np.mean((noisy == 0) | (noisy == 1))
+    assert 0.13 < frac < 0.22   # with-replacement sampling overlaps a bit
+    np.testing.assert_array_equal(x, np.full_like(x, 0.5))  # input untouched
+
+
+def test_jax_noise_variants():
+    x = jnp.full((64, 64), 0.5)
+    noisy = add_salt_and_pepper_jax(x, 0.2, jax.random.key(0))
+    frac = float(jnp.mean((noisy == 0) | (noisy == 1)))
+    assert 0.15 < frac < 0.25
+    y = add_awgn_jax(jnp.asarray(np.random.default_rng(0).random((32, 32)),
+                                 jnp.float32), 0.1, jax.random.key(1))
+    assert y.shape == (32, 32)
+
+
+def test_filters_smooth():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 8, 50)).astype(np.float32)
+    for filt in (gaussian_filter, mean_filter):
+        out = np.asarray(filt(x, kernel_size=5))
+        assert out.shape == x.shape
+        # smoothing reduces temporal variation
+        assert np.abs(np.diff(out, axis=-1)).mean() < \
+            np.abs(np.diff(x, axis=-1)).mean()
+    # mean filter of a constant is the constant (edge padding)
+    const = np.ones((1, 1, 4, 20), np.float32)
+    np.testing.assert_allclose(np.asarray(mean_filter(const)), const,
+                               rtol=1e-6)
+
+
+def test_denoiser_stage_training_reduces_reconstruction_error():
+    rng = np.random.default_rng(3)
+    clean = rng.random((64, 16, 8, 3)).astype(np.float32)   # NHWC
+
+    def noise_fn(x, key):
+        return add_salt_and_pepper_jax(x, 0.1, key)
+
+    v0 = StackedDenoisingAE(1).init(
+        {"params": jax.random.key(0)}, jnp.asarray(clean[:1]), train=False)
+    model = StackedDenoisingAE(1)
+    rec0 = model.apply(v0, jnp.asarray(clean[:8]), train=False)
+    err0 = float(jnp.mean((rec0 - clean[:8]) ** 2))
+
+    v1 = train_denoiser_stage(clean, 1, noise_fn, epochs=30, batch_size=32,
+                              lr=3e-3)
+    rec1 = model.apply(v1, jnp.asarray(clean[:8]), train=False)
+    err1 = float(jnp.mean((rec1 - clean[:8]) ** 2))
+    assert err1 < err0 * 0.6, (err0, err1)
+
+
+def test_stacked_denoiser_freezes_previous_stage():
+    rng = np.random.default_rng(4)
+    clean = rng.random((32, 16, 8, 3)).astype(np.float32)
+    noise_fn = lambda x, key: add_awgn_jax(x, 0.05, key)
+    v1 = train_denoiser_stage(clean, 1, noise_fn, epochs=2, batch_size=16)
+    v2 = train_denoiser_stage(clean, 2, noise_fn, prev_variables=v1,
+                              epochs=2, batch_size=16)
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["stage_0"]["enc_weight"]),
+        np.asarray(v1["params"]["stage_0"]["enc_weight"]))
+    assert "stage_1" in v2["params"]
+
+
+def test_evaluate_robustness_sweep():
+    rng = np.random.default_rng(5)
+    kp = rng.standard_normal((64, 15, 2)).astype(np.float32) * 0.1
+    csi = np.tile(kp.reshape(64, 30), (1, 18)).reshape(64, 540)
+    csi = np.tile(csi[:, :, None], (1, 1, 20)).astype(np.float32)
+
+    def perfect_predictor(xb):
+        # recover keypoints from the (noise-corrupted) first 30 channels
+        return xb[:, :30, 0].reshape(-1, 15, 2)
+
+    res = evaluate_robustness(perfect_predictor, csi, kp,
+                              noise_levels=(0.0, 0.5), noise_kind="awgn",
+                              batch_size=32)
+    assert res[0.0]["pck@0.2"] == 1.0
+    assert res[0.5]["pck@0.2"] < res[0.0]["pck@0.2"]
+    assert res[0.0]["mpjpe"] < res[0.5]["mpjpe"]
+
+
+def test_profile_model_flops():
+    from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.models.wiflow import WiFlowPoseModel
+
+    model = WiFlowPoseModel(ModelConfig(compute_dtype="float32"))
+    prof = profile_model(model, jnp.zeros((8, 540, 20)))
+    assert 2.2e6 < prof["params"] < 2.26e6
+    if "gflops_per_sample" in prof:
+        # ref README.md:119 reports 0.07 GFLOPs (thop MACs); XLA counts
+        # true FLOPs on our tap-matmul lowering — same order of magnitude
+        assert 0.02 < prof["gflops_per_sample"] < 1.0, prof
+
+
+def test_streaming_inference():
+    from wiflow_tpu.eval.streaming import make_stream_infer, sliding_windows
+
+    stream = jnp.asarray(np.arange(50 * 6, dtype=np.float32).reshape(50, 6))
+    win = sliding_windows(stream, 20, stride=1)
+    assert win.shape == (31, 6, 20)
+    np.testing.assert_array_equal(np.asarray(win[3, 2]),
+                                  np.asarray(stream[3:23, 2]))
+
+    def apply_fn(batch):     # fake pose head: mean over window
+        return jnp.mean(batch, axis=2)[:, :6, None] * jnp.ones((1, 1, 2))
+
+    infer = make_stream_infer(apply_fn, window=20, stride=1, batch=8)
+    poses = infer(stream)
+    assert poses.shape == (31, 6, 2)
+    assert bool(jnp.all(jnp.isfinite(poses)))
