@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None,
                    help="YAML config (protocol/split); defaults mirror the "
                         "reference's config.yaml")
+    p.add_argument("--model", default="wiflow",
+                   choices=["wiflow", "hpeli", "wisppn", "perunet",
+                            "wpformer"],
+                   help="wiflow (default) or a baseline re-targeted to "
+                        "MM-Fi (ref cross_dataset_test/ suite)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -97,7 +102,6 @@ def main(argv=None) -> int:
     print(f"[split] train {len(train_xy[0])} / val {len(val_xy[0])} / "
           f"test {len(test_xy[0])}")
 
-    model_cfg = MMFiModelConfig()
     cfg = Config(
         train=TrainConfig(
             batch_size=args.batch_size, num_epochs=args.epochs,
@@ -107,17 +111,45 @@ def main(argv=None) -> int:
         output_dir=args.output_dir,
     )
 
+    # model-specific label/loss wiring (ref cross_dataset_test/ suite):
+    # wiflow/wpformer/perunet regress 17x3 keypoints; hpeli regresses the
+    # 2-D projection (HPE-Li/model/HPE_no_denoiser.py); wisppn regresses a
+    # 3x17x17 PAM with confidence-weighted MSE
+    kwargs = dict(connections=MMFI_SKELETON_CONNECTIONS,
+                  pck_fn=root_relative_pck_fractions,
+                  mpe_fn=root_aligned_mpjpe, monitor="pck")
+    if args.model == "wiflow":
+        model = WiFlowMMFiModel(MMFiModelConfig())
+    elif args.model == "hpeli":
+        from wiflow_tpu.models.baselines import HPELiMMFi
+        model = HPELiMMFi()
+        train_xy = (train_xy[0], train_xy[1][..., :2])
+        val_xy = (val_xy[0], val_xy[1][..., :2])
+        test_xy = (test_xy[0], test_xy[1][..., :2])
+    elif args.model == "wpformer":
+        from wiflow_tpu.models.baselines import wpformer_mmfi
+        model = wpformer_mmfi()
+    elif args.model == "perunet":
+        from wiflow_tpu.models.baselines import PerUnetMMFi
+        model = PerUnetMMFi()
+    else:  # wisppn: PAM targets
+        from wiflow_tpu.data.pam import (
+            keypoints_to_pam, pam_confidence_mse, pam_to_keypoints,
+        )
+        from wiflow_tpu.models.baselines import WiSPPN
+        model = WiSPPN(input_converter="mmfi", pam_channels=3, pam_size=17)
+        train_xy = (train_xy[0], keypoints_to_pam(train_xy[1]))
+        val_xy = (val_xy[0], keypoints_to_pam(val_xy[1]))
+        test_xy = (test_xy[0], keypoints_to_pam(test_xy[1]))
+        kwargs.update(loss_fn=pam_confidence_mse,
+                      to_keypoints=pam_to_keypoints)
+
     result = train_pose_model(
-        train_xy, val_xy, test_xy, cfg, args.output_dir,
-        model=WiFlowMMFiModel(model_cfg),
-        resume=not args.no_resume,
-        connections=MMFI_SKELETON_CONNECTIONS,
-        pck_fn=root_relative_pck_fractions,
-        mpe_fn=root_aligned_mpjpe,
-        monitor="pck",
-    )
+        train_xy, val_xy, test_xy, cfg, args.output_dir, model=model,
+        resume=not args.no_resume, **kwargs)
     paths = write_all_artifacts(result, args.output_dir,
-                                make_videos=not args.no_videos)
+                                make_videos=not args.no_videos,
+                                connections=MMFI_SKELETON_CONNECTIONS)
     print("[artifacts] " + ", ".join(sorted(paths)))
     print(f"[done] best epoch {result.best_epoch + 1}, "
           f"test MPJPE {result.test_metrics['mpe']:.4f} m, "

@@ -55,7 +55,7 @@ def save_best_model(output_dir: str, variables: Dict[str, Any],
             import torch
 
             from wiflow_tpu.models.torch_compat import to_torch_state_dict
-            sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+            sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                   for k, v in to_torch_state_dict(variables, model_cfg).items()}
             torch.save(sd, os.path.join(output_dir, f"{stem}.pth"))
         except ImportError:

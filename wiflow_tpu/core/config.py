@@ -71,6 +71,10 @@ class ModelConfig:
     attention_groups: int = 8               # ref: pose_model.py:40
     dropout: float = 0.5                    # train.py:88 passes 0.5
     conv_dropout: float = 0.3               # convnet.py module default
+    # ablation switches (ref README.md:240-248): TCN conv flavour and
+    # the axial-attention stage
+    tcn_conv: str = "grouped"               # 'grouped'|'plain'|'depthwise'
+    use_attention: bool = True
     # compute dtype for the forward pass; params stay fp32
     compute_dtype: str = "bfloat16"
 

@@ -4,4 +4,10 @@ from wiflow_tpu.models.baselines.perunet import PerUnet, PerUnetMMFi
 from wiflow_tpu.models.baselines.wisppn import (
     WiSPPN, convert_csi_format, extract_keypoints_from_pam,
 )
-from wiflow_tpu.models.baselines.wpformer import ChannelTransformer, WPformer
+from wiflow_tpu.models.baselines.sknet_trans import (
+    AdditiveAttention, DSKNetTrans, GlobalContextAttention,
+    MultiAxisAttention, MultiHeadAttention, RegressionHead, SelfAttention,
+)
+from wiflow_tpu.models.baselines.wpformer import (
+    ChannelTransformer, WPformer, wpformer_mmfi,
+)

@@ -55,8 +55,8 @@ class ResBasicBlock(nn.Module):
 
 
 class ResNet34Trunk(nn.Module):
-    """ResNet34 stem + layers 1-3, 3x3/stride-1 1-channel stem, no maxpool
-    (ref model.py:335-344, 403-415)."""
+    """ResNet34 stem + layers, 3x3/stride-1 1-channel stem, no maxpool
+    (ref model.py:335-344, 403-415; MM-Fi variant adds layer4)."""
 
     widths: Sequence[int] = (64, 128, 256)
     blocks: Sequence[int] = (3, 4, 6)
@@ -166,28 +166,39 @@ class ChannelTransformer(nn.Module):
 
 
 class WPformer(nn.Module):
-    """posenet rebuild (ref model.py:281-452)."""
+    """posenet rebuild (ref model.py:281-452).
+
+    ``input_mode='wiflow'``: [B, 540, 20] -> 18 subcarrier chunks resized
+    to 60x32, ResNet34 layers 1-3.  ``input_mode='mmfi'``: [B, 3, 114, 10]
+    -> 3 antenna streams resized to 136x32, layers 1-4 (512 ch), 17x3-D
+    output (ref cross_dataset_test/WPformer/metafi.py:95-205)."""
 
     num_chunks: int = 18                 # 540 / 30 subcarriers per stream
     resize_to: Sequence[int] = (60, 32)
     num_keypoints: int = 15
     keypoint_dims: int = 2
     trunk_widths: Sequence[int] = (64, 128, 256)
+    trunk_blocks: Sequence[int] = (3, 4, 6)
     heads: int = 3
+    input_mode: str = "wiflow"
     compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         b = x.shape[0]
         x = x.astype(jnp.dtype(self.compute_dtype))
-        # chunk subcarriers into streams, resize each to 60x32, and run the
-        # SHARED trunk over all streams as one big batch (the reference
-        # loops over 18 python iterations — model.py:398-415)
-        chunk = x.shape[1] // self.num_chunks
-        xs = x.reshape(b * self.num_chunks, chunk, x.shape[2])[..., None]
+        # chunk into streams and run the SHARED trunk over all streams as
+        # one big batch (the reference loops in python — model.py:398-415)
+        if self.input_mode == "mmfi":
+            xs = x.reshape(b * self.num_chunks, x.shape[2], x.shape[3])
+        else:
+            chunk = x.shape[1] // self.num_chunks
+            xs = x.reshape(b * self.num_chunks, chunk, x.shape[2])
+        xs = xs[..., None]
         xs = jax.image.resize(
             xs, (xs.shape[0], *self.resize_to, 1), "bilinear")
         feats = ResNet34Trunk(widths=self.trunk_widths,
+                              blocks=self.trunk_blocks,
                               name="trunk")(xs, train=train)
         fh, fw, fc = feats.shape[1:]
         # concat the 18 streams along width (model.py:421)
@@ -219,3 +230,12 @@ class WPformer(nn.Module):
         y = TorchBatchNorm(self.keypoint_dims, channel_axis=1,
                            name="final_bn")(y, train=train)
         return jnp.transpose(y, (0, 2, 1))             # [B, K, D]
+
+
+def wpformer_mmfi(compute_dtype: str = "bfloat16") -> WPformer:
+    """WPformer on MM-Fi: 3 antenna streams, ResNet34 layers 1-4, [B,17,3]
+    (ref cross_dataset_test/WPformer/metafi.py:39-207)."""
+    return WPformer(num_chunks=3, resize_to=(136, 32), num_keypoints=17,
+                    keypoint_dims=3, trunk_widths=(64, 128, 256, 512),
+                    trunk_blocks=(3, 4, 6, 3), input_mode="mmfi",
+                    compute_dtype=compute_dtype)

@@ -58,24 +58,35 @@ class TCNLevel(nn.Module):
     dilation: int
     groups: int
     dropout: float
+    # ablation variants (ref README.md:244-247): 'grouped' (full model),
+    # 'plain' (regular conv1d, groups=1), 'depthwise' (groups=channels)
+    conv_kind: str = "grouped"
+
+    def _groups(self, channels: int) -> int:
+        if self.conv_kind == "plain":
+            return 1
+        if self.conv_kind == "depthwise":
+            return channels
+        return self.groups
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        g = self.groups
         k = self.kernel_size
-        ci_in = self.n_in // g
-        ci_out = self.n_out // g
+        g1 = self._groups(self.n_in)
+        g2 = self._groups(self.n_out)
+        ci_in = self.n_in // g1
+        ci_out = self.n_out // g2
         b, t, _ = x.shape
 
         w1g = self.param("conv1_group_weight",
                          kaiming_normal_fan_out(self.n_in * k),
-                         (k, g, ci_in, ci_in))
+                         (k, g1, ci_in, ci_in))
         w1p = self.param("conv1_pw_weight",
                          kaiming_normal_fan_out(self.n_out * 1),
                          (self.n_in, self.n_out))
         w2g = self.param("conv2_group_weight",
                          kaiming_normal_fan_out(self.n_out * k),
-                         (k, g, ci_out, ci_out))
+                         (k, g2, ci_out, ci_out))
         w2p = self.param("conv2_pw_weight",
                          kaiming_normal_fan_out(self.n_out * 1),
                          (self.n_out, self.n_out))
@@ -90,7 +101,7 @@ class TCNLevel(nn.Module):
             res = x
 
         out = causal_grouped_conv1d(
-            x.reshape(b, t, g, ci_in), w1g, dilation=self.dilation
+            x.reshape(b, t, g1, ci_in), w1g, dilation=self.dilation
         ).reshape(b, t, self.n_in)
         out = TorchBatchNorm(self.n_in, name="bn1_group")(out, train=train)
         out = silu(out)
@@ -100,7 +111,7 @@ class TCNLevel(nn.Module):
         out = TorchDropout(self.dropout, name="dropout1")(out, train=train)
 
         out = causal_grouped_conv1d(
-            out.reshape(b, t, g, ci_out), w2g, dilation=self.dilation
+            out.reshape(b, t, g2, ci_out), w2g, dilation=self.dilation
         ).reshape(b, t, self.n_out)
         out = TorchBatchNorm(self.n_out, name="bn2_group")(out, train=train)
         out = silu(out)
@@ -120,6 +131,7 @@ class TCNStack(nn.Module):
     kernel_size: int
     groups: int
     dropout: float
+    conv_kind: str = "grouped"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -128,7 +140,7 @@ class TCNStack(nn.Module):
             x = TCNLevel(
                 n_in=n_in, n_out=n_out, kernel_size=self.kernel_size,
                 dilation=2 ** i, groups=self.groups, dropout=self.dropout,
-                name=f"network_{i}",
+                conv_kind=self.conv_kind, name=f"network_{i}",
             )(x, train=train)
             n_in = n_out
         return x
@@ -296,6 +308,7 @@ class WiFlowPoseModel(nn.Module):
             kernel_size=cfg.tcn_kernel_size,
             groups=cfg.tcn_groups,
             dropout=cfg.dropout,
+            conv_kind=cfg.tcn_conv,
             name="tcn",
         )(x, train=train)                       # [B, 20, 240]
 
@@ -313,9 +326,10 @@ class WiFlowPoseModel(nn.Module):
         # [B, 20, 15, 64] -> [B, H=15, W=20, C=64]  (ref: pose_model.py:87)
         x = jnp.transpose(x, (0, 2, 1, 3))
 
-        x = DualAxialAttention(cfg.conv_channels[-1],
-                               groups=cfg.attention_groups,
-                               name="attention")(x, train=train)
+        if cfg.use_attention:   # ablation '- axial attention' (README:248)
+            x = DualAxialAttention(cfg.conv_channels[-1],
+                                   groups=cfg.attention_groups,
+                                   name="attention")(x, train=train)
 
         # decoder (ref: pose_model.py:44-51): 3x3 conv -> BN -> SiLU ->
         # 1x1 conv -> BN -> SiLU
