@@ -52,3 +52,35 @@ def test_fast_forward_matches_module():
     assert out.shape == (4, 15, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_stack_matches_reference():
+    """Pallas conv-stack kernel == folded XLA conv blocks (interpret)."""
+    from wiflow_tpu.models import fast as F
+    from wiflow_tpu.ops.pallas.conv_stack import (
+        fused_conv_stack_eval, pack_conv_stack,
+    )
+
+    model = WiFlowPoseModel(CFG)
+    rng = np.random.default_rng(2)
+    v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 540, 20))))
+    p, s = v["params"], v["batch_stats"]
+    xb = jnp.asarray(rng.standard_normal((16, 20, 240)).astype(np.float32))
+
+    def ref_blocks(xb):
+        y = xb[..., None]
+        y = F._conv_block(p["up"], s["up"], y, stride_w=1, dtype=jnp.float32)
+        for j in range(4):
+            y = F._conv_block(p[f"residual_blocks_{j}"],
+                              s[f"residual_blocks_{j}"], y, stride_w=2,
+                              dtype=jnp.float32)
+        return y
+    ref = ref_blocks(xb)                                  # [B, 20, 15, 64]
+
+    packed, widths, strides = pack_conv_stack(p, s, CFG.conv_channels, F._aff)
+    out = fused_conv_stack_eval(xb.reshape(-1, 240), packed, widths=widths,
+                                strides=strides, block=32, interpret=True)
+    out = out.reshape(16, 20, 64, 15).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -30,6 +30,9 @@ from wiflow_tpu.ops.conv import (
 from wiflow_tpu.ops.pallas.axial_attention import (
     bn_affine, dual_axial_attention_eval,
 )
+from wiflow_tpu.ops.pallas.conv_stack import (
+    fused_conv_stack_eval, pack_conv_stack,
+)
 
 
 def _aff(params, stats, name):
@@ -90,15 +93,17 @@ def _conv_block(p, s, x, *, stride_w: int, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "attention_block",
-                                              "interpret"))
+                                              "interpret", "fuse_conv_stack"))
 def fast_forward(variables: Dict[str, Any], x: jax.Array,
                  config: ModelConfig = ModelConfig(),
                  attention_block: int = 128,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 fuse_conv_stack: bool = True) -> jax.Array:
     """[B, 540, 20] -> [B, 15, 2], eval semantics, fused/folded."""
     cfg = config
     p, s = variables["params"], variables["batch_stats"]
     dtype = jnp.dtype(cfg.compute_dtype)
+    b = x.shape[0]
     x = x.astype(dtype)
 
     x = jnp.transpose(x, (0, 2, 1))                    # [B, T, C]
@@ -106,12 +111,26 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
         x = _tcn_level(p["tcn"][f"network_{i}"], s["tcn"][f"network_{i}"],
                        x, dilation=2 ** i, groups=cfg.tcn_groups, dtype=dtype)
 
-    x = x[..., None]                                   # [B, 20, 240, 1]
-    x = _conv_block(p["up"], s["up"], x, stride_w=1, dtype=dtype)
-    for j in range(len(cfg.conv_channels)):
-        x = _conv_block(p[f"residual_blocks_{j}"], s[f"residual_blocks_{j}"],
-                        x, stride_w=2, dtype=dtype)
-    x = jnp.transpose(x, (0, 2, 1, 3))                 # [B, 15, 20, 64]
+    t = cfg.window_size
+    if fuse_conv_stack:
+        packed, widths, strides = pack_conv_stack(
+            p, s, cfg.conv_channels, _aff)
+        rows = x.reshape(b * t, cfg.tcn_channels[-1])
+        y = fused_conv_stack_eval(rows, packed, widths=widths,
+                                  strides=strides,
+                                  interpret=interpret)   # [R, C, W_last]
+        w_last = y.shape[-1]
+        c_last = cfg.conv_channels[-1]
+        # [B*T, C, W] -> [B, W(=15), T, C]
+        x = y.reshape(b, t, c_last, w_last).transpose(0, 3, 1, 2)
+    else:
+        x = x[..., None]                               # [B, 20, 240, 1]
+        x = _conv_block(p["up"], s["up"], x, stride_w=1, dtype=dtype)
+        for j in range(len(cfg.conv_channels)):
+            x = _conv_block(p[f"residual_blocks_{j}"],
+                            s[f"residual_blocks_{j}"], x, stride_w=2,
+                            dtype=dtype)
+        x = jnp.transpose(x, (0, 2, 1, 3))             # [B, 15, 20, 64]
 
     x = dual_axial_attention_eval(
         x, p["attention"], s["attention"], groups=cfg.attention_groups,
