@@ -46,9 +46,11 @@ def _kernel(qkvT_ref, sim_aff_ref, out_aff_ref, out_ref, *, groups: int):
     k = qkv[:, c:2 * c, :].reshape(l, g, gc, nb)
     v = qkv[:, 2 * c:, :].reshape(l, g, gc, nb)
 
-    # All reductions below are over tiny static dims (L<=20, gc=8) and are
-    # unrolled into elementwise ops on [G, Nb] / [L, G, Nb] tiles — Mosaic
-    # does not support reductions over leading (untiled) dims.
+    # Reductions over the tiny static dims (L<=20, gc=8) can't use
+    # jnp reductions directly (Mosaic rejects leading-dim reductions), so:
+    # the gc contraction and the j-weighted sum unroll into elementwise ops
+    # on multi-tile [L, G, Nb] / [G, gc, Nb] arrays, and the softmax runs
+    # as a 2-D [L, G*Nb] sublane reduction.
     sim_scale = sim_aff_ref[0, :].reshape(g, 1)
     sim_bias = sim_aff_ref[1, :].reshape(g, 1)
 
@@ -61,28 +63,20 @@ def _kernel(qkvT_ref, sim_aff_ref, out_aff_ref, out_ref, *, groups: int):
             lg_i = term if lg_i is None else lg_i + term
         lg_i = lg_i * sim_scale[None] + sim_bias[None]     # BN-eval affine
 
-        # softmax over j (ref attention.py:63), unrolled
-        m = lg_i[0]
-        for j in range(1, l):
-            m = jnp.maximum(m, lg_i[j])
-        e = jnp.exp(lg_i - m[None])
-        ssum = e[0]
-        for j in range(1, l):
-            ssum = ssum + e[j]
-        s = e / ssum[None]                                 # [L(j), G, Nb]
+        # softmax over j (ref attention.py:63) as a sublane reduction
+        lg2 = lg_i.reshape(l, g * nb)
+        m = jnp.max(lg2, axis=0, keepdims=True)
+        e = jnp.exp(lg2 - m)
+        sm = (e / jnp.sum(e, axis=0, keepdims=True)).reshape(l, g, 1, nb)
 
-        # weighted sum of v over j -> channel pieces [G, Nb] each
-        for cc in range(gc):
-            acc = None
-            for j in range(l):
-                term = s[j] * v[j, :, cc, :]
-                acc = term if acc is None else acc + term
-            rows.append(acc)                               # order: (i, cc)
+        # weighted sum of v over j -> [G, gc, Nb]
+        acc = None
+        for j in range(l):
+            term = sm[j] * v[j]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
 
-    # rows[i * gc + cc] is [G, Nb]; stack to [L, gc, G, Nb] then reorder
-    # channels to torch's g-major layout via elementwise-safe reshapes
-    out = jnp.stack(rows, axis=0).reshape(l, gc, g, nb)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(l, c, nb)
+    out = jnp.stack(rows, axis=0).reshape(l, c, nb)        # g-major channels
     out = out * out_aff_ref[0, :].reshape(1, c, 1) \
         + out_aff_ref[1, :].reshape(1, c, 1)
     out_ref[...] = out.astype(out_ref.dtype)
