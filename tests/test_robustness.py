@@ -137,3 +137,32 @@ def test_streaming_inference():
     poses = infer(stream)
     assert poses.shape == (31, 6, 2)
     assert bool(jnp.all(jnp.isfinite(poses)))
+
+
+def test_denoiser_hpe_composition():
+    """Frozen pretrained AE encoder + SK pose head (HPE-Li denoiser-HPE)."""
+    import optax
+    from wiflow_tpu.robustness.denoiser import DenoiserHPE, frozen_denoiser_labels
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((4, 3, 114, 10)).astype(np.float32))
+    model = DenoiserHPE(num_stages=1, compute_dtype="float32")
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (4, 17, 2)
+
+    # merge a pretrained stage and confirm it changes the output
+    clean = rng.random((32, 114, 10, 3)).astype(np.float32)
+    ae_v = train_denoiser_stage(clean, 1, lambda z, k: add_awgn_jax(z, .05, k),
+                                epochs=1, batch_size=16)
+    merged = {"params": {**v["params"], "denoiser": ae_v["params"]},
+              "batch_stats": {**v["batch_stats"],
+                              "denoiser": ae_v["batch_stats"]}}
+    out2 = model.apply(merged, x, train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    labels = frozen_denoiser_labels(merged["params"])
+    assert labels["denoiser"] == "freeze" and labels["skunit1"] == "train"
+    tx = optax.multi_transform({"train": optax.adam(1e-3),
+                                "freeze": optax.set_to_zero()}, labels)
+    tx.init(merged["params"])   # structure check

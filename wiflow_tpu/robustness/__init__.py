@@ -1,5 +1,6 @@
 from wiflow_tpu.robustness.denoiser import (
-    AEStage, StackedDenoisingAE, train_denoiser_stage,
+    AEStage, DenoiserHPE, StackedDenoisingAE, frozen_denoiser_labels,
+    train_denoiser_stage,
 )
 from wiflow_tpu.robustness.evaluate import evaluate_robustness
 from wiflow_tpu.robustness.filters import gaussian_filter, mean_filter

@@ -165,3 +165,47 @@ def train_denoiser_stage(
             print(f"[denoiser s{num_stages}] epoch {epoch + 1}: "
                   f"{np.mean(losses):.5f}")
     return {"params": params, "batch_stats": stats}
+
+
+class DenoiserHPE(nn.Module):
+    """Pose model with a (pretrained, frozen) denoising-encoder front end.
+
+    Rebuild of ref cross_dataset_test/HPE-Li/model/HPE_{one..five}_
+    denoiser.py::*LayerDenoiserHPE: the stacked-AE encoder cleans the CSI,
+    then SK units + an MLP head regress the pose.  Load pretrained AE
+    stages by merging ``train_denoiser_stage`` variables into this model's
+    ``denoiser`` subtree and freeze them with ``frozen_denoiser_labels``.
+    """
+
+    num_stages: int = 1
+    num_keypoints: int = 17
+    keypoint_dims: int = 2
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        from wiflow_tpu.models.baselines.hpeli import SKUnit
+        from wiflow_tpu.models.layers import TorchBatchNorm
+
+        b = x.shape[0]
+        x = x.astype(jnp.dtype(self.compute_dtype))
+        x = jnp.transpose(x, (0, 2, 3, 1))            # NHWC [B, S, T, A]
+        ae = StackedDenoisingAE(self.num_stages, name="denoiser")
+        code = ae.encode(x, train=False)              # frozen: eval stats
+
+        y = SKUnit(64, 64, m=2, name="skunit1")(code, train=train)
+        y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        y = SKUnit(128, 128, m=2, name="skunit2")(y, train=train)
+        y = jnp.transpose(y, (0, 3, 1, 2)).reshape(b, -1)
+        wl = self.param("head_weight", nn.initializers.xavier_normal(),
+                        (y.shape[-1], self.num_keypoints * self.keypoint_dims))
+        bl = self.param("head_bias", nn.initializers.zeros,
+                        (self.num_keypoints * self.keypoint_dims,))
+        y = y @ wl.astype(y.dtype) + bl
+        return y.reshape(b, self.num_keypoints,
+                         self.keypoint_dims).astype(jnp.float32)
+
+
+def frozen_denoiser_labels(params) -> dict:
+    """optax.multi_transform labels freezing the ``denoiser`` subtree."""
+    return {k: ("freeze" if k == "denoiser" else "train") for k in params}
