@@ -130,6 +130,9 @@ class TrainConfig:
     drop_last_eval: bool = True
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    # HBM storage dtype for the staged CSI (labels stay fp32); bf16 fits
+    # the full 360k-window dataset on one chip (SURVEY §7)
+    data_dtype: str = "float32"
     # run the epoch as one jitted lax.scan over batches (fast path) instead
     # of a per-batch python loop
     scan_epochs: bool = True
