@@ -41,6 +41,24 @@ def test_fused_attention_matches_module():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_attention_v2_matches_module():
+    """v2 kernel (in-kernel QKV, scrambled channels) == flax module."""
+    from wiflow_tpu.ops.pallas.axial_attention import (
+        dual_axial_attention_eval_v2, scramble_perm,
+    )
+    att = DualAxialAttention(64, groups=8)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 15, 20, 64)).astype(np.float32))
+    v = _nontrivial_stats(att.init({"params": jax.random.key(0)}, x,
+                                   train=False))
+    ref = att.apply(v, x, train=False)
+    out = dual_axial_attention_eval_v2(x, v["params"], v["batch_stats"],
+                                       groups=8, block=8, interpret=True)
+    out = out[..., scramble_perm(64, 8)]          # back to standard order
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fast_forward_matches_module():
     model = WiFlowPoseModel(CFG)
     rng = np.random.default_rng(1)

@@ -28,7 +28,8 @@ from wiflow_tpu.ops.conv import (
     pointwise_conv1d,
 )
 from wiflow_tpu.ops.pallas.axial_attention import (
-    bn_affine, dual_axial_attention_eval,
+    bn_affine, dual_axial_attention_eval, dual_axial_attention_eval_v2,
+    scramble_perm,
 )
 from wiflow_tpu.ops.pallas.conv_stack import (
     fused_conv_stack_eval, pack_conv_stack,
@@ -120,12 +121,14 @@ def _conv_block(p, s, x, *, stride_w: int, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "attention_block",
-                                              "interpret", "fuse_conv_stack"))
+                                              "interpret", "fuse_conv_stack",
+                                              "attention_impl"))
 def fast_forward(variables: Dict[str, Any], x: jax.Array,
                  config: ModelConfig = ModelConfig(),
                  attention_block: int = 128,
                  interpret: bool = False,
-                 fuse_conv_stack: bool = True) -> jax.Array:
+                 fuse_conv_stack: bool = True,
+                 attention_impl: str = "v2") -> jax.Array:
     """[B, 540, 20] -> [B, 15, 2], eval semantics, fused/folded."""
     cfg = config
     p, s = variables["params"], variables["batch_stats"]
@@ -159,12 +162,24 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
                             dtype=dtype)
         x = jnp.transpose(x, (0, 2, 1, 3))             # [B, 15, 20, 64]
 
-    x = dual_axial_attention_eval(
-        x, p["attention"], s["attention"], groups=cfg.attention_groups,
-        block=attention_block, interpret=interpret).astype(dtype)
+    if attention_impl == "v2":
+        # v2 returns channels in scrambled (cc, g) order; the unscramble is
+        # folded into decoder_conv1's input-channel axis below — zero
+        # runtime permutation.
+        x = dual_axial_attention_eval_v2(
+            x, p["attention"], s["attention"], groups=cfg.attention_groups,
+            block=attention_block, interpret=interpret).astype(dtype)
+        chan_perm = scramble_perm(cfg.conv_channels[-1], cfg.attention_groups)
+    else:
+        x = dual_axial_attention_eval(
+            x, p["attention"], s["attention"], groups=cfg.attention_groups,
+            block=attention_block, interpret=interpret).astype(dtype)
+        chan_perm = None
 
     sc, bi = _aff(p, s, "decoder_bn1")
     w1 = p["decoder_conv1_weight"] * sc[None, None, None, :]
+    if chan_perm is not None:
+        w1 = w1[:, :, chan_perm, :]
     b1 = sc * p["decoder_conv1_bias"] + bi
     x = jax.nn.silu(conv3x3_2d(x, w1.astype(dtype), b1.astype(dtype)))
 

@@ -143,6 +143,205 @@ def axial_attention_eval(x, wqkv, qkv_bn, sim_bn, out_bn,
     return out[:n]
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel: QKV projection fused in-kernel (MXU) + tile-aligned channel
+# layout.  v1 spends most of its time on sublane-strided relayouts: slicing
+# channel cc out of g-major channels [L, (g, gc), Nb] gathers every 8th
+# sublane.  v2 instead orders channels (cc, g) — "scrambled" — so every
+# per-cc slice is one contiguous [G, Nb] tile, and the softmax/AV run as
+# unrolled leading-dim tile ops.  The scramble is folded into the weights
+# (QKV columns here, the consumer's input channels downstream), so no data
+# permutation ever executes at runtime.
+# ---------------------------------------------------------------------------
+
+
+def scramble_perm(c: int, groups: int):
+    """perm P with P[p] = standard channel at scrambled position p.
+
+    Scrambled position p = cc * G + g holds standard channel g * gc + cc
+    (standard = group-major, ref attention.py:42-47 reshape semantics).
+    ``a_scrambled = a_standard[..., P]``; inverse is ``argsort(P)`` (equal
+    to P itself when G == gc).
+    """
+    import numpy as np
+    gc_ = c // groups
+    p = np.empty(c, dtype=np.int32)
+    for cc in range(gc_):
+        for g in range(groups):
+            p[cc * groups + g] = g * gc_ + cc
+    return p
+
+
+def _kernel_v2(xT_ref, wq_ref, bq_ref, sim_aff_ref, out_aff_ref, out_ref,
+               *, groups: int):
+    """One block of Nb folded-batch elements, projection included.
+
+    xT_ref: [L, C, Nb] input block.
+    wq_ref: [3C, C] folded QKV projection, output rows in (part, cc, g)
+            scrambled order, input cols matching the incoming channel order.
+    bq_ref: [3C, 1] f32 folded bn_qkv bias (scrambled rows).
+    sim_aff_ref: [2, G] f32; out_aff_ref: [2, C] f32 (scrambled cols).
+    out_ref: [L, C, Nb], channels in scrambled (cc, g) order.
+    """
+    l, c, nb = xT_ref.shape
+    g = groups
+    gc_ = c // g
+
+    w = wq_ref[...]
+    bq = bq_ref[...].astype(jnp.float32)
+
+    # Per-position QKV projection on the MXU: [3C, C] @ [C, Nb].
+    qkv = []
+    for i in range(l):
+        y = jax.lax.dot_general(
+            w, xT_ref[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv.append(y + bq)
+
+    # Contiguous [G, Nb] tile views per (part, cc); stacks over L are
+    # leading-dim only (no relayout).
+    def plane(part, cc):
+        base = part * c + cc * g
+        return jnp.stack([qkv[j][base:base + g] for j in range(l)])
+
+    k_planes = [plane(1, cc) for cc in range(gc_)]
+    v_planes = [plane(2, cc) for cc in range(gc_)]
+
+    sim_s = sim_aff_ref[0, :].reshape(g, 1)
+    sim_b = sim_aff_ref[1, :].reshape(g, 1)
+    out_s = out_aff_ref[0, :].reshape(c, 1)
+    out_b = out_aff_ref[1, :].reshape(c, 1)
+
+    rows = []
+    for i in range(l):
+        # logits for query i: [L_j, G, Nb]
+        lg = None
+        for cc in range(gc_):
+            q_icc = qkv[i][cc * g:(cc + 1) * g]
+            term = q_icc[None] * k_planes[cc]
+            lg = term if lg is None else lg + term
+        lg = lg * sim_s[None] + sim_b[None]                # BN-eval affine
+
+        # softmax over j (leading dim), fully unrolled — no relayouts
+        m = lg[0]
+        for j in range(1, l):
+            m = jnp.maximum(m, lg[j])
+        e = jnp.exp(lg - m[None])
+        den = e[0]
+        for j in range(1, l):
+            den = den + e[j]
+        r = 1.0 / den                                      # [G, Nb]
+
+        # weighted sum of v over j, per cc -> [C(scrambled), Nb]
+        outs = []
+        for cc in range(gc_):
+            acc = None
+            vp = v_planes[cc]
+            for j in range(l):
+                term = e[j] * vp[j]
+                acc = term if acc is None else acc + term
+            outs.append(acc * r)
+        o_i = jnp.concatenate(outs, axis=0)                # (cc, g) order
+        rows.append(o_i * out_s + out_b)
+
+    out_ref[...] = jnp.stack(rows).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "block", "interpret",
+                                              "in_scrambled"))
+def axial_attention_eval_v2(x, wqkv, qkv_bn, sim_bn, out_bn,
+                            *, groups: int = 8, block: int = 128,
+                            interpret: bool = False,
+                            in_scrambled: bool = False):
+    """Fused eval-mode axial attention, v2 layout.
+
+    Args/semantics as :func:`axial_attention_eval`, except the returned
+    ``[N, L, C]`` array has channels in scrambled (cc, g) order — fold
+    ``scramble_perm(C, groups)`` into the consumer's weights, or pass
+    ``in_scrambled=True`` to a chained second call.
+    """
+    n, l, c = x.shape
+    perm = scramble_perm(c, groups)
+
+    s, b = bn_affine(qkv_bn["gamma"], qkv_bn["beta"],
+                     qkv_bn["mean"], qkv_bn["var"])
+    wq = wqkv.astype(jnp.float32) * s[None, :]             # [C, 3C]
+    # reorder output columns to scrambled order within each part
+    wq = wq.reshape(c, 3, c)[:, :, perm].reshape(c, 3 * c)
+    bq = b.reshape(3, c)[:, perm].reshape(3 * c, 1)
+    if in_scrambled:
+        wq = wq[perm, :]                                   # match input order
+    wqT = jnp.transpose(wq).astype(x.dtype)                # [3C, C]
+
+    sim_aff = jnp.stack(bn_affine(sim_bn["gamma"], sim_bn["beta"],
+                                  sim_bn["mean"], sim_bn["var"]))
+    out_aff = jnp.stack(bn_affine(out_bn["gamma"], out_bn["beta"],
+                                  out_bn["mean"], out_bn["var"]))[:, perm]
+
+    pad = (-n) % block
+    xT = jnp.transpose(x, (1, 2, 0))                       # [L, C, N]
+    if pad:
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (0, pad)))
+    ntot = n + pad
+
+    outT = pl.pallas_call(
+        functools.partial(_kernel_v2, groups=groups),
+        grid=(ntot // block,),
+        in_specs=[
+            pl.BlockSpec((l, c, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((l, c, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, c, ntot), x.dtype),
+        interpret=interpret,
+    )(xT, wqT, bq.astype(jnp.float32), sim_aff.astype(jnp.float32),
+      out_aff.astype(jnp.float32))
+
+    return jnp.transpose(outT, (2, 0, 1))[:n]              # [N, L, C]
+
+
+def dual_axial_attention_eval_v2(x, params, batch_stats, *, groups: int = 8,
+                                 block: int = 128, interpret: bool = False):
+    """v2 dual attention on ``[B, H, W, C]``.
+
+    Returns ``[B, H, W, C]`` with channels in scrambled (cc, g) order —
+    the caller folds ``scramble_perm(C, groups)`` into the next layer's
+    input-channel axis (see models/fast.py decoder fold).
+    """
+    def bn(axis, name):
+        return {"gamma": params[axis][name]["weight"],
+                "beta": params[axis][name]["bias"],
+                "mean": batch_stats[axis][name]["running_mean"],
+                "var": batch_stats[axis][name]["running_var"]}
+
+    b, h, w, c = x.shape
+    xr = x.reshape(b * h, w, c)
+    xr = axial_attention_eval_v2(
+        xr, params["width_axis"]["qkv_weight"],
+        bn("width_axis", "bn_qkv"), bn("width_axis", "bn_similarity"),
+        bn("width_axis", "bn_output"),
+        groups=groups, block=block, interpret=interpret, in_scrambled=False)
+    x = xr.reshape(b, h, w, c)
+
+    xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * w, h, c)
+    xr = axial_attention_eval_v2(
+        xr, params["height_axis"]["qkv_weight"],
+        bn("height_axis", "bn_qkv"), bn("height_axis", "bn_similarity"),
+        bn("height_axis", "bn_output"),
+        groups=groups, block=block, interpret=interpret, in_scrambled=True)
+    return jnp.transpose(xr.reshape(b, w, h, c), (0, 2, 1, 3))
+
+
 def dual_axial_attention_eval(x, params, batch_stats, *, groups: int = 8,
                               block: int = 128, interpret: bool = False):
     """Width-axis then height-axis fused attention on ``[B, H, W, C]``.
