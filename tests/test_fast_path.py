@@ -72,6 +72,31 @@ def test_fast_forward_matches_module():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_tcn_matches_reference():
+    """Pallas TCN-level kernels == folded XLA block-diag path (interpret)."""
+    from wiflow_tpu.models import fast as F
+    from wiflow_tpu.ops.pallas.tcn_level import fused_tcn_eval, pack_tcn_levels
+
+    model = WiFlowPoseModel(CFG)
+    rng = np.random.default_rng(4)
+    v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 540, 20))))
+    p, s = v["params"], v["batch_stats"]
+    xt = jnp.asarray(rng.standard_normal((6, 20, 540)).astype(np.float32))
+
+    ref = xt
+    for i in range(4):
+        ref = F._tcn_level(p["tcn"][f"network_{i}"], s["tcn"][f"network_{i}"],
+                           ref, dilation=2 ** i, groups=20,
+                           dtype=jnp.float32)
+
+    packed = pack_tcn_levels(p["tcn"], s["tcn"], 4, F._aff)
+    out = fused_tcn_eval(xt, packed, dilations=(1, 2, 4, 8), block=8,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_conv_stack_matches_reference():
     """Pallas conv-stack kernel == folded XLA conv blocks (interpret)."""
     from wiflow_tpu.models import fast as F

@@ -34,6 +34,7 @@ from wiflow_tpu.ops.pallas.axial_attention import (
 from wiflow_tpu.ops.pallas.conv_stack import (
     fused_conv_stack_eval, pack_conv_stack,
 )
+from wiflow_tpu.ops.pallas.tcn_level import fused_tcn_eval, pack_tcn_levels
 
 
 def _aff(params, stats, name):
@@ -128,7 +129,8 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
                  attention_block: int = 128,
                  interpret: bool = False,
                  fuse_conv_stack: bool = True,
-                 attention_impl: str = "v2") -> jax.Array:
+                 attention_impl: str = "v2",
+                 fuse_tcn: bool = True) -> jax.Array:
     """[B, 540, 20] -> [B, 15, 2], eval semantics, fused/folded."""
     cfg = config
     p, s = variables["params"], variables["batch_stats"]
@@ -137,9 +139,18 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
     x = x.astype(dtype)
 
     x = jnp.transpose(x, (0, 2, 1))                    # [B, T, C]
-    for i in range(len(cfg.tcn_channels)):
-        x = _tcn_level(p["tcn"][f"network_{i}"], s["tcn"][f"network_{i}"],
-                       x, dilation=2 ** i, groups=cfg.tcn_groups, dtype=dtype)
+    n_levels = len(cfg.tcn_channels)
+    if fuse_tcn:
+        packed_levels = pack_tcn_levels(p["tcn"], s["tcn"], n_levels, _aff,
+                                        dtype=dtype)
+        x = fused_tcn_eval(x, packed_levels,
+                           dilations=tuple(2 ** i for i in range(n_levels)),
+                           interpret=interpret)
+    else:
+        for i in range(n_levels):
+            x = _tcn_level(p["tcn"][f"network_{i}"], s["tcn"][f"network_{i}"],
+                           x, dilation=2 ** i, groups=cfg.tcn_groups,
+                           dtype=dtype)
 
     t = cfg.window_size
     if fuse_conv_stack:
