@@ -59,6 +59,24 @@ def test_fused_attention_v2_matches_module():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_attention_dual_matches_v2():
+    """Single-kernel dual attention == chained v2 kernels (interpret)."""
+    from wiflow_tpu.ops.pallas.axial_attention import (
+        dual_axial_attention_eval_fused, dual_axial_attention_eval_v2,
+    )
+    att = DualAxialAttention(64, groups=8)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((5, 15, 20, 64)).astype(np.float32))
+    v = _nontrivial_stats(att.init({"params": jax.random.key(0)}, x,
+                                   train=False))
+    ref = dual_axial_attention_eval_v2(x, v["params"], v["batch_stats"],
+                                       groups=8, block=4, interpret=True)
+    out = dual_axial_attention_eval_fused(x, v["params"], v["batch_stats"],
+                                          groups=8, block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fast_forward_matches_module():
     model = WiFlowPoseModel(CFG)
     rng = np.random.default_rng(1)

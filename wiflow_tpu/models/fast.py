@@ -28,8 +28,8 @@ from wiflow_tpu.ops.conv import (
     pointwise_conv1d,
 )
 from wiflow_tpu.ops.pallas.axial_attention import (
-    bn_affine, dual_axial_attention_eval, dual_axial_attention_eval_v2,
-    scramble_perm,
+    bn_affine, dual_axial_attention_eval, dual_axial_attention_eval_fused,
+    dual_axial_attention_eval_v2, scramble_perm,
 )
 from wiflow_tpu.ops.pallas.conv_stack import (
     fused_conv_stack_eval, pack_conv_stack,
@@ -173,11 +173,13 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
                             dtype=dtype)
         x = jnp.transpose(x, (0, 2, 1, 3))             # [B, 15, 20, 64]
 
-    if attention_impl == "v2":
-        # v2 returns channels in scrambled (cc, g) order; the unscramble is
-        # folded into decoder_conv1's input-channel axis below — zero
-        # runtime permutation.
-        x = dual_axial_attention_eval_v2(
+    if attention_impl in ("v2", "dual"):
+        # v2/dual return channels in scrambled (cc, g) order; the
+        # unscramble is folded into decoder_conv1's input-channel axis
+        # below — zero runtime permutation.
+        attn = (dual_axial_attention_eval_fused if attention_impl == "dual"
+                else dual_axial_attention_eval_v2)
+        x = attn(
             x, p["attention"], s["attention"], groups=cfg.attention_groups,
             block=attention_block, interpret=interpret).astype(dtype)
         chan_perm = scramble_perm(cfg.conv_channels[-1], cfg.attention_groups)

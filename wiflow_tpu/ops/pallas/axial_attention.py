@@ -172,29 +172,23 @@ def scramble_perm(c: int, groups: int):
     return p
 
 
-def _kernel_v2(xT_ref, wq_ref, bq_ref, sim_aff_ref, out_aff_ref, out_ref,
-               *, groups: int):
-    """One block of Nb folded-batch elements, projection included.
+def _attend(xT, wq, bq, sim_aff, out_aff, *, groups: int, dtype):
+    """Core fused attention on one VMEM block ``xT [L, C, Nb]``.
 
-    xT_ref: [L, C, Nb] input block.
-    wq_ref: [3C, C] folded QKV projection, output rows in (part, cc, g)
-            scrambled order, input cols matching the incoming channel order.
-    bq_ref: [3C, 1] f32 folded bn_qkv bias (scrambled rows).
-    sim_aff_ref: [2, G] f32; out_aff_ref: [2, C] f32 (scrambled cols).
-    out_ref: [L, C, Nb], channels in scrambled (cc, g) order.
+    ``wq [3C, C]``: folded QKV projection, output rows in (part, cc, g)
+    scrambled order; ``bq [3C, 1]`` f32; ``sim_aff [2, G]``;
+    ``out_aff [2, C]`` (scrambled cols).  Returns ``[L, C, Nb]`` with
+    channels in scrambled (cc, g) order, dtype ``dtype``.
     """
-    l, c, nb = xT_ref.shape
+    l, c, nb = xT.shape
     g = groups
     gc_ = c // g
-
-    w = wq_ref[...]
-    bq = bq_ref[...].astype(jnp.float32)
 
     # Per-position QKV projection on the MXU: [3C, C] @ [C, Nb].
     qkv = []
     for i in range(l):
         y = jax.lax.dot_general(
-            w, xT_ref[i],
+            wq, xT[i],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         qkv.append(y + bq)
@@ -208,10 +202,10 @@ def _kernel_v2(xT_ref, wq_ref, bq_ref, sim_aff_ref, out_aff_ref, out_ref,
     k_planes = [plane(1, cc) for cc in range(gc_)]
     v_planes = [plane(2, cc) for cc in range(gc_)]
 
-    sim_s = sim_aff_ref[0, :].reshape(g, 1)
-    sim_b = sim_aff_ref[1, :].reshape(g, 1)
-    out_s = out_aff_ref[0, :].reshape(c, 1)
-    out_b = out_aff_ref[1, :].reshape(c, 1)
+    sim_s = sim_aff[0, :].reshape(g, 1)
+    sim_b = sim_aff[1, :].reshape(g, 1)
+    out_s = out_aff[0, :].reshape(c, 1)
+    out_b = out_aff[1, :].reshape(c, 1)
 
     rows = []
     for i in range(l):
@@ -245,7 +239,16 @@ def _kernel_v2(xT_ref, wq_ref, bq_ref, sim_aff_ref, out_aff_ref, out_ref,
         o_i = jnp.concatenate(outs, axis=0)                # (cc, g) order
         rows.append(o_i * out_s + out_b)
 
-    out_ref[...] = jnp.stack(rows).astype(out_ref.dtype)
+    return jnp.stack(rows).astype(dtype)
+
+
+def _kernel_v2(xT_ref, wq_ref, bq_ref, sim_aff_ref, out_aff_ref, out_ref,
+               *, groups: int):
+    """One block of Nb folded-batch elements, projection included."""
+    out_ref[...] = _attend(
+        xT_ref[...], wq_ref[...], bq_ref[...].astype(jnp.float32),
+        sim_aff_ref[...], out_aff_ref[...],
+        groups=groups, dtype=out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "block", "interpret",
@@ -308,6 +311,123 @@ def axial_attention_eval_v2(x, wqkv, qkv_bn, sim_bn, out_bn,
       out_aff.astype(jnp.float32))
 
     return jnp.transpose(outT, (2, 0, 1))[:n]              # [N, L, C]
+
+
+def _fold_qkv(wqkv, qkv_bn, perm, in_scrambled: bool, dtype):
+    """Fold bn_qkv into the projection; reorder to scrambled layout."""
+    c = wqkv.shape[0]
+    s, b = bn_affine(qkv_bn["gamma"], qkv_bn["beta"],
+                     qkv_bn["mean"], qkv_bn["var"])
+    wq = wqkv.astype(jnp.float32) * s[None, :]             # [C, 3C]
+    wq = wq.reshape(c, 3, c)[:, :, perm].reshape(c, 3 * c)
+    bq = b.reshape(3, c)[:, perm].reshape(3 * c, 1)
+    if in_scrambled:
+        wq = wq[perm, :]
+    return jnp.transpose(wq).astype(dtype), bq.astype(jnp.float32)
+
+
+def _kernel_dual(x_ref, wq1_ref, bq1_ref, sim1_ref, oaff1_ref,
+                 wq2_ref, bq2_ref, sim2_ref, oaff2_ref, out_ref, a1_ref,
+                 *, groups: int):
+    """Both attention axes for one block of Nb whole samples, all in VMEM.
+
+    x_ref: [1, H, W, C, Nb]; out_ref: [1, W, H, C, Nb] (both axes' results,
+    channels scrambled); a1_ref: [H, W, C, Nb] VMEM scratch.  H/W slices
+    are untiled leading dims, so neither axis fold needs a relayout, and
+    the inter-axis intermediate never touches HBM.
+    """
+    _, h, w, c, nb = x_ref.shape
+    dtype = out_ref.dtype
+
+    wq1, bq1 = wq1_ref[...], bq1_ref[...].astype(jnp.float32)
+    sim1, oaff1 = sim1_ref[...], oaff1_ref[...]
+    wq2, bq2 = wq2_ref[...], bq2_ref[...].astype(jnp.float32)
+    sim2, oaff2 = sim2_ref[...], oaff2_ref[...]
+
+    def body1(hh, carry):
+        a1_ref[hh] = _attend(x_ref[0, hh], wq1, bq1, sim1, oaff1,
+                             groups=groups, dtype=dtype)
+        return carry
+
+    jax.lax.fori_loop(0, h, body1, 0)
+
+    def body2(ww, carry):
+        out_ref[0, ww] = _attend(a1_ref[:, ww], wq2, bq2, sim2, oaff2,
+                                 groups=groups, dtype=dtype)
+        return carry
+
+    jax.lax.fori_loop(0, w, body2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "block", "interpret"))
+def dual_axial_attention_eval_fused(x, params, batch_stats, *,
+                                    groups: int = 8, block: int = 128,
+                                    interpret: bool = False):
+    """Single-kernel dual attention on ``[B, H, W, C]``.
+
+    Same contract as :func:`dual_axial_attention_eval_v2` (returns
+    scrambled channels), but width- and height-axis attention run in one
+    Pallas kernel over blocks of whole samples — the inter-axis
+    intermediate and its transposes never leave VMEM.
+
+    NOTE: not the default. At block=128 the pipeline's double-buffered
+    in/out blocks (4 x 4.9 MB) plus the scratch exceed the 16 MB VMEM
+    scoped limit on v5e (measured 23.4 MB); block=64 fits but halves
+    VPU/MXU lane utilization.  v2 (two kernels + XLA transposes) wins
+    until VMEM grows or the pipeline can run single-buffered.
+    """
+    def bn(axis, name):
+        return {"gamma": params[axis][name]["weight"],
+                "beta": params[axis][name]["bias"],
+                "mean": batch_stats[axis][name]["running_mean"],
+                "var": batch_stats[axis][name]["running_var"]}
+
+    b, h, w, c = x.shape
+    perm = scramble_perm(c, groups)
+    wq1, bq1 = _fold_qkv(params["width_axis"]["qkv_weight"],
+                         bn("width_axis", "bn_qkv"), perm, False, x.dtype)
+    wq2, bq2 = _fold_qkv(params["height_axis"]["qkv_weight"],
+                         bn("height_axis", "bn_qkv"), perm, True, x.dtype)
+
+    def affs(axis):
+        d = bn(axis, "bn_similarity")
+        sim = jnp.stack(bn_affine(d["gamma"], d["beta"], d["mean"],
+                                  d["var"]))
+        d = bn(axis, "bn_output")
+        out = jnp.stack(bn_affine(d["gamma"], d["beta"], d["mean"],
+                                  d["var"]))[:, perm]
+        return sim.astype(jnp.float32), out.astype(jnp.float32)
+
+    sim1, oaff1 = affs("width_axis")
+    sim2, oaff2 = affs("height_axis")
+
+    nb = block
+    pad = (-b) % nb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    bp = b + pad
+    ng = bp // nb
+    x5 = x.reshape(ng, nb, h, w, c).transpose(0, 2, 3, 4, 1)
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_dual, groups=groups),
+        grid=(ng,),
+        in_specs=[pl.BlockSpec((1, h, w, c, nb),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full(wq1), full(bq1), full(sim1), full(oaff1),
+                  full(wq2), full(bq2), full(sim2), full(oaff2)],
+        out_specs=pl.BlockSpec((1, w, h, c, nb), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ng, w, h, c, nb), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h, w, c, nb), x.dtype)],
+        interpret=interpret,
+    )(x5, wq1, bq1, sim1, oaff1, wq2, bq2, sim2, oaff2)
+
+    out = out.transpose(0, 4, 2, 1, 3).reshape(bp, h, w, c)
+    return out[:b]
 
 
 def dual_axial_attention_eval_v2(x, params, batch_stats, *, groups: int = 8,
