@@ -115,6 +115,25 @@ def test_fused_tcn_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fast_forward_mmfi_matches_module():
+    """MM-Fi serving path == WiFlowMMFiModel in eval mode (interpret)."""
+    import dataclasses
+    from wiflow_tpu.models.fast import fast_forward_mmfi
+    from wiflow_tpu.models.wiflow_mmfi import MMFiModelConfig, WiFlowMMFiModel
+
+    cfg = dataclasses.replace(MMFiModelConfig(), compute_dtype="float32")
+    model = WiFlowMMFiModel(cfg)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 3, 114, 10)).astype(np.float32))
+    v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, x[:1]))
+    ref = model.apply(v, x, train=False)
+    out = fast_forward_mmfi(v, x, cfg, attention_block=8, interpret=True)
+    assert out.shape == (4, 17, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_conv_stack_matches_reference():
     """Pallas conv-stack kernel == folded XLA conv blocks (interpret)."""
     from wiflow_tpu.models import fast as F

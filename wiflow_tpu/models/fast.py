@@ -202,3 +202,63 @@ def fast_forward(variables: Dict[str, Any], x: jax.Array,
     x = jax.nn.silu(conv1x1_2d(x, w2.astype(dtype)) + b2.astype(dtype))
 
     return jnp.mean(x.astype(jnp.float32), axis=2)     # [B, 15, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "attention_block",
+                                              "interpret"))
+def fast_forward_mmfi(variables: Dict[str, Any], x: jax.Array,
+                      config=None, attention_block: int = 128,
+                      interpret: bool = False) -> jax.Array:
+    """MM-Fi serving path: [B, 3, 114, 10] -> [B, 17, 3], eval semantics.
+
+    Same kernel lineup as :func:`fast_forward` re-dimensioned for the
+    cross-dataset model (models/wiflow_mmfi.py; ref cross_dataset_test/
+    WiFlow/wiflow.py:441-530): 3-level TCN groups=18, 1x1 projection to
+    272, conv stack 272->17, dual attention on [B, 17, 10, 64], decoder on
+    the last timestep.
+    """
+    from wiflow_tpu.models.wiflow_mmfi import MMFiModelConfig
+    cfg = config or MMFiModelConfig()
+    p, s = variables["params"], variables["batch_stats"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b = x.shape[0]
+    x = x.astype(dtype)
+
+    x = x.reshape(b, cfg.input_channels, cfg.window_size)
+    x = jnp.transpose(x, (0, 2, 1))                    # [B, T=10, 342]
+    n_levels = len(cfg.tcn_channels)
+    packed_levels = pack_tcn_levels(p["tcn"], s["tcn"], n_levels, _aff,
+                                    dtype=dtype)
+    x = fused_tcn_eval(x, packed_levels,
+                       dilations=tuple(2 ** i for i in range(n_levels)),
+                       interpret=interpret)            # [B, 10, 288]
+
+    sc, bi = _aff(p, s, "tcn_proj_bn")
+    wproj = p["tcn_proj_weight"] * sc[None, :]
+    x = jax.nn.silu(pointwise_conv1d(x, wproj.astype(dtype))
+                    + bi.astype(dtype))                # [B, 10, 272]
+
+    t = cfg.window_size
+    packed, widths, strides = pack_conv_stack(
+        p, s, cfg.conv_channels, _aff, w0=cfg.tcn_proj_channels)
+    rows = x.reshape(b * t, cfg.tcn_proj_channels)
+    y = fused_conv_stack_eval(rows, packed, widths=widths, strides=strides,
+                              interpret=interpret)     # [R, 64, 17]
+    w_last = y.shape[-1]
+    c_last = cfg.conv_channels[-1]
+    x = y.reshape(b, t, c_last, w_last).transpose(0, 3, 1, 2)
+
+    x = dual_axial_attention_eval_v2(
+        x, p["attention"], s["attention"], groups=cfg.attention_groups,
+        block=attention_block, interpret=interpret).astype(dtype)
+    chan_perm = scramble_perm(c_last, cfg.attention_groups)
+
+    x = x[:, :, -1:, :]                                # last timestep
+    sc, bi = _aff(p, s, "final_bn")
+    w1 = (p["final_conv1_weight"] * sc[None, :])[chan_perm, :]
+    b1 = sc * p["final_conv1_bias"] + bi
+    x = jax.nn.silu(conv1x1_2d(x, w1.astype(dtype)) + b1.astype(dtype))
+
+    x = conv1x1_2d(x, p["final_conv2_weight"].astype(dtype)) \
+        + p["final_conv2_bias"].astype(dtype)
+    return x[:, :, 0, :].astype(jnp.float32)           # [B, 17, 3]

@@ -160,7 +160,7 @@ def _plan_chunks(widths, strides, w0: int):
     s_in, w_cur = 8, w0
     n_in = w0 // s_in
     for (ci, co), stride in zip(widths, strides):
-        if stride > 1 and n_in > 16:
+        if stride > 1 and n_in > 16 and n_in % stride == 0:
             cs, s_out = stride, s_in
         elif stride > 1:
             assert s_in % stride == 0, (s_in, stride)
