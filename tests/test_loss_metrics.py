@@ -108,3 +108,73 @@ def test_metric_cores_are_jittable():
     p = jnp.ones((4, 15, 2))
     fr, m = f(p, p * 1.01)
     assert fr.shape == (2,) and np.isfinite(float(m))
+
+
+# ---------------------------------------------------------------------------
+# Per-keypoint PCK golden tests vs the reference's own numpy implementations
+# (ref baseline/WPformer/evaluation.py, HPE-Li/utils/eval.py).
+# ---------------------------------------------------------------------------
+
+def _load_ref_module(path, name):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ref_evaluation():
+    return _load_ref_module(
+        "/root/reference/baseline/WPformer/evaluation.py", "ref_evaluation")
+
+
+def test_compute_pck_pckh_17_golden():
+    from wiflow_tpu.metrics.metrics import compute_pck_pckh
+    ref = _ref_evaluation()
+    rng = np.random.default_rng(7)
+    gt = rng.standard_normal((32, 2, 17)).astype(np.float64)
+    dt = gt + 0.1 * rng.standard_normal((32, 2, 17))
+    for thr in (0.2, 0.5):
+        expected = ref.compute_pck_pckh(dt, gt, thr)
+        got = compute_pck_pckh(dt, gt, thr)
+        assert got.shape == (18,)
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_compute_pck_pckh_18_golden():
+    from wiflow_tpu.metrics.metrics import compute_pck_pckh_18
+    ref = _ref_evaluation()
+    rng = np.random.default_rng(8)
+    gt = rng.standard_normal((16, 2, 18)).astype(np.float64)
+    dt = gt + 0.2 * rng.standard_normal((16, 2, 18))
+    expected = ref.compute_pck_pckh_18(dt, gt, 0.2)
+    got = compute_pck_pckh_18(dt, gt, 0.2)
+    assert got.shape == (19,)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_compute_pck_pckh_15_golden_both_layouts():
+    from wiflow_tpu.metrics.metrics import compute_pck_pckh_15
+    ref = _ref_evaluation()
+    rng = np.random.default_rng(9)
+    gt = rng.standard_normal((24, 15, 2)).astype(np.float64)
+    dt = gt + 0.05 * rng.standard_normal((24, 15, 2))
+    expected = ref.compute_pck_pckh_15(dt, gt, 0.2)     # ref auto-transposes
+    got_kp_major = compute_pck_pckh_15(dt, gt, 0.2)
+    got_coord_major = compute_pck_pckh_15(
+        dt.transpose(0, 2, 1), gt.transpose(0, 2, 1), 0.2)
+    assert got_kp_major.shape == (16,)
+    np.testing.assert_allclose(got_kp_major, expected, rtol=1e-5)
+    np.testing.assert_allclose(got_coord_major, expected, rtol=1e-5)
+
+
+def test_compute_pck_pckh_hpeli_golden():
+    from wiflow_tpu.metrics.metrics import compute_pck_pckh_hpeli
+    ref = _load_ref_module(
+        "/root/reference/cross_dataset_test/HPE-Li/utils/eval.py", "ref_eval")
+    rng = np.random.default_rng(10)
+    gt = rng.standard_normal((16, 2, 17)).astype(np.float64)
+    dt = gt + 0.15 * rng.standard_normal((16, 2, 17))
+    expected = ref.compute_pck_pckh(dt, gt, 0.5)
+    got = compute_pck_pckh_hpeli(dt, gt, 0.5)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)

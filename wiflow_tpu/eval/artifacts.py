@@ -65,23 +65,50 @@ def save_all_predictions(true_kp: np.ndarray, pred_kp: np.ndarray,
     return output_file
 
 
+def _per_keypoint_pck(true_unscaled: np.ndarray, pred_unscaled: np.ndarray,
+                      thr: float) -> Optional[np.ndarray]:
+    """Per-joint PCK column via the reference-named evaluators.
+
+    Picks the `compute_pck_pckh` variant by keypoint count (ref
+    baseline/WPformer/evaluation.py:6-83); returns None for counts with no
+    reference evaluator.
+    """
+    from wiflow_tpu.metrics.metrics import (
+        compute_pck_pckh, compute_pck_pckh_15, compute_pck_pckh_18,
+    )
+    k = true_unscaled.shape[1]
+    fn = {15: compute_pck_pckh_15, 17: compute_pck_pckh,
+          18: compute_pck_pckh_18}.get(k)
+    if fn is None:
+        return None
+    # the evaluators use 2-D distances; MM-Fi 3-D keypoints use x/y
+    return np.asarray(fn(pred_unscaled[..., :2], true_unscaled[..., :2],
+                         thr))[:k]
+
+
 def calculate_keypoint_errors(true_kp: np.ndarray, pred_kp: np.ndarray,
                               keypoint_scale: float = 1000.0,
                               names: Optional[Dict[int, str]] = None):
-    """Per-keypoint error stats DataFrame (mean/median/std/min/max)."""
+    """Per-keypoint error stats DataFrame (mean/median/std/min/max),
+    plus per-joint PCK@0.2/0.5 columns (VERDICT r1 item 6; ref
+    baseline/WPformer/evaluation.py reports per-joint PCK arrays)."""
     import pandas as pd
 
     names = names or KEYPOINT_NAMES
     n = min(len(true_kp), len(pred_kp))
     k = np.asarray(true_kp).reshape(n, -1, true_kp.shape[-1]).shape[1]
-    t = np.asarray(true_kp[:n]).reshape(n, k, -1) * keypoint_scale
-    p = np.asarray(pred_kp[:n]).reshape(n, k, -1) * keypoint_scale
+    t0 = np.asarray(true_kp[:n]).reshape(n, k, -1)
+    p0 = np.asarray(pred_kp[:n]).reshape(n, k, -1)
+    t = t0 * keypoint_scale
+    p = p0 * keypoint_scale
     dist = np.sqrt(((t - p) ** 2).sum(-1))
+    pck20 = _per_keypoint_pck(t0, p0, 0.2)
+    pck50 = _per_keypoint_pck(t0, p0, 0.5)
 
     rows = []
     for i in range(k):
         di = dist[:, i]
-        rows.append({
+        row = {
             "keypoint_id": i,
             "keypoint_name": names.get(i, f"kp{i}"),
             "body_part": _body_part(i),
@@ -90,7 +117,11 @@ def calculate_keypoint_errors(true_kp: np.ndarray, pred_kp: np.ndarray,
             "std_error": float(di.std()),
             "min_error": float(di.min()),
             "max_error": float(di.max()),
-        })
+        }
+        if pck20 is not None:
+            row["pck@0.2"] = float(pck20[i])
+            row["pck@0.5"] = float(pck50[i])
+        rows.append(row)
     return pd.DataFrame(rows)
 
 
