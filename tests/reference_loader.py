@@ -32,3 +32,25 @@ def load_reference_model_modules():
     attention = importlib.import_module("models.attention")
     pose_model = importlib.import_module("models.pose_model")
     return tcn, convnet, attention, pose_model
+
+
+def load_hpeli_zoo_modules():
+    """Import the reference HPE-Li model package (stubbing torchvision,
+    which is absent here and unused by the imported modules)."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tr.Resize = object
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+    hpeli_dir = os.path.join(REFERENCE_DIR, "cross_dataset_test", "HPE-Li")
+    if hpeli_dir not in sys.path:
+        sys.path.insert(0, hpeli_dir)
+    no_denoiser = importlib.import_module("model.HPE_no_denoiser")
+    wipose = importlib.import_module("model.HPE_Wipose")
+    basic = importlib.import_module("model.HPE_basic_cnn")
+    sknet_v2 = importlib.import_module("model.utils.SKNet_v2")
+    trans_mmfi = importlib.import_module("model.sknet_trans_mmfi")
+    trans_wipose = importlib.import_module("model.sknet_trans_wipose")
+    return (no_denoiser, wipose, basic, sknet_v2, trans_mmfi, trans_wipose)

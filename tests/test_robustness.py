@@ -166,3 +166,57 @@ def test_denoiser_hpe_composition():
     tx = optax.multi_transform({"train": optax.adam(1e-3),
                                 "freeze": optax.set_to_zero()}, labels)
     tx.init(merged["params"])   # structure check
+
+
+def test_engine_frozen_params_and_init_variables(tmp_path):
+    """train_pose_model(init_variables=..., frozen_params=...) keeps the
+    pretrained subtree bit-identical through training (the reference's
+    frozen denoiser encoders, HPE-Li/model/HPE_five_denoiser.py)."""
+    import dataclasses
+    from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
+    from wiflow_tpu.models.baselines.hpeli_zoo import BasicCnnHPE
+    from wiflow_tpu.robustness.denoiser import DenoiserHPE
+    from wiflow_tpu.train.loop import train_pose_model
+
+    rng = np.random.default_rng(0)
+    def mk(n):
+        x = rng.standard_normal((n, 3, 114, 10)).astype(np.float32)
+        y = np.concatenate([
+            rng.standard_normal((n, 17, 2)).astype(np.float32) * 0.1,
+            np.ones((n, 17, 1), np.float32)], axis=-1)
+        return x, y
+
+    model = DenoiserHPE(num_stages=1, compute_dtype="float32")
+    import jax
+    v0 = model.init({"params": jax.random.key(7)},
+                    jnp.zeros((1, 3, 114, 10)), train=False)
+    pre = jax.device_get(v0["params"]["denoiser"])
+
+    def conf_mse(out, yb):
+        conf = yb[..., 2:3]
+        loss = jnp.mean((conf * out - conf * yb[..., :2]) ** 2)
+        return loss, {"position": loss, "bone": jnp.zeros(())}
+
+    cfg = Config(train=TrainConfig(batch_size=8, num_epochs=1,
+                                   scan_epochs=False,
+                                   optim=OptimConfig(lr=1e-2, kind="sgd",
+                                                     schedule="linear_decay")),
+                 mesh=MeshConfig(num_devices=2))
+    res = train_pose_model(
+        mk(16), mk(8), mk(8), cfg, str(tmp_path / "frozen"),
+        model=model, resume=False, loss_fn=conf_mse,
+        to_keypoints=lambda out, yb: (out, yb[..., :2]),
+        init_variables={"params": {"denoiser": pre},
+                        "batch_stats": {"denoiser":
+                                        v0["batch_stats"]["denoiser"]}},
+        frozen_params=("denoiser",), verbose=False)
+
+    got = res.variables["params"]["denoiser"]
+    key = lambda kv: str(kv[0])  # noqa: E731
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(pre), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(got), key=key)):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # while the head DID train
+    assert np.isfinite(res.history["train_loss"][0])

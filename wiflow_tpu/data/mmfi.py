@@ -115,38 +115,105 @@ def load_csi_frame(path: str) -> np.ndarray:
     return ((data - dmin) / (dmax - dmin)).astype(np.float32)
 
 
+MODALITIES = ("rgb", "infra1", "infra2", "depth", "lidar", "mmwave",
+              "wifi-csi")
+# reference file-type map (mmfi.py:153-163)
+MODALITY_EXTS = {"rgb": (".npy",), "infra1": (".npy",), "infra2": (".npy",),
+                 "depth": (".png",), "lidar": (".bin",), "mmwave": (".bin",),
+                 "wifi-csi": (".mat", ".npy")}
+
+
+def load_modality_frame(path: str, mod: str) -> np.ndarray:
+    """One frame of any modality (mmfi.py:250-280 ``read_frame``):
+
+      rgb/infra1/infra2  .npy 2-D keypoints,
+      depth              16-bit .png scaled to meters (x0.001),
+      lidar              raw float64 .bin -> [-1, 3] points,
+      mmwave             raw float64 .bin -> [-1, 5] points,
+      wifi-csi           .mat CSIamp with NaN repair + min-max norm.
+    """
+    if mod == "wifi-csi":
+        return load_csi_frame(path)
+    if mod in ("rgb", "infra1", "infra2"):
+        return np.load(path).astype(np.float32)
+    if mod == "depth":
+        import cv2
+        return (cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                .astype(np.float32) * 0.001)
+    if mod in ("lidar", "mmwave"):
+        with open(path, "rb") as f:
+            raw = np.frombuffer(f.read(), dtype=np.float64)
+        return raw.reshape(-1, 3 if mod == "lidar" else 5).astype(np.float32)
+    raise ValueError(f"unseen modality {mod!r}")
+
+
+def read_modality_dir(dir_path: str, mod: str):
+    """All frames of one modality directory (mmfi.py:204-248 ``read_dir``).
+
+    Returns a dense [T, ...] array for fixed-shape modalities and a list
+    of [N_t, D] arrays for the point-cloud ones (lidar/mmwave)."""
+    import glob as _glob
+    pats = [os.path.join(dir_path, f"frame*{ext}")
+            for ext in MODALITY_EXTS[mod]]
+    files = sorted(sum((_glob.glob(p) for p in pats), []))
+    frames = [load_modality_frame(f, mod) for f in files]
+    if mod in ("lidar", "mmwave"):
+        return frames
+    return np.asarray(frames)
+
+
 class MMFiDataset:
-    """Frame-unit MM-Fi WiFi-CSI dataset over a {subject: [actions]} form."""
+    """MM-Fi dataset over a {subject: [actions]} form.
+
+    ``data_unit='frame'`` yields per-frame samples (zero-byte frames of
+    ANY requested modality invalidate the whole frame, mmfi.py:193-199);
+    ``data_unit='sequence'`` yields one sample per (subject, action) with
+    whole-sequence inputs (mmfi.py:169-181, 291-304).  ``modality`` is a
+    '|'-separated list as in the reference YAML.
+    """
 
     def __init__(self, data_root: str, data_form: Dict[str, List[str]],
-                 modality: str = "wifi-csi"):
-        if modality != "wifi-csi":
-            raise NotImplementedError(
-                "the rebuild materializes the WiFi-CSI modality; other "
-                "modalities follow the same item contract")
+                 modality: str = "wifi-csi", data_unit: str = "frame"):
+        mods = modality.split("|")
+        for m in mods:
+            if m not in MODALITIES:
+                raise ValueError(f"unknown modality {m!r}")
+        if data_unit not in ("frame", "sequence"):
+            raise ValueError(f"unsupported data unit {data_unit!r}")
         self.data_root = data_root
-        self.modality = modality
+        self.modality = mods
+        self.data_unit = data_unit
         self.items: List[Dict] = []
         for subject in sorted(data_form):
             scene = scene_of(subject)
             for action in data_form[subject]:
                 base = os.path.join(data_root, scene, subject, action)
-                mod_dir = os.path.join(base, modality)
                 gt_path = os.path.join(base, "ground_truth.npy")
-                if not os.path.isdir(mod_dir):
+                mod_dirs = {m: os.path.join(base, m) for m in mods}
+                if not all(os.path.isdir(d) for d in mod_dirs.values()):
+                    continue
+                if data_unit == "sequence":
+                    self.items.append({
+                        "scene": scene, "subject": subject, "action": action,
+                        "mod_dirs": mod_dirs, "gt_path": gt_path,
+                    })
                     continue
                 for idx in range(FRAMES_PER_SEQUENCE):
-                    fp = self._frame_path(mod_dir, idx)
-                    if fp is None:
+                    paths = {m: self._frame_path(d, idx, m)
+                             for m, d in mod_dirs.items()}
+                    if any(p is None for p in paths.values()):
                         continue
                     self.items.append({
                         "scene": scene, "subject": subject, "action": action,
-                        "idx": idx, "frame_path": fp, "gt_path": gt_path,
+                        "idx": idx, "frame_paths": paths, "gt_path": gt_path,
+                        # kept for the single-modality fast path
+                        "frame_path": paths.get("wifi-csi"),
                     })
 
     @staticmethod
-    def _frame_path(mod_dir: str, idx: int) -> Optional[str]:
-        for ext in (".mat", ".npy"):
+    def _frame_path(mod_dir: str, idx: int,
+                    mod: str = "wifi-csi") -> Optional[str]:
+        for ext in MODALITY_EXTS[mod]:
             p = os.path.join(mod_dir, f"frame{idx + 1:03d}{ext}")
             # zero-size files are invalid frames (mmfi.py:196-198)
             if os.path.isfile(p) and os.path.getsize(p) > 0:
@@ -159,17 +226,35 @@ class MMFiDataset:
     def __getitem__(self, i: int) -> Dict:
         item = self.items[i]
         gt = np.load(item["gt_path"])
-        return {
-            "modality": [self.modality],
+        if self.data_unit == "sequence":
+            sample = {
+                "modality": list(self.modality),
+                "scene": item["scene"], "subject": item["subject"],
+                "action": item["action"],
+                "output": gt.astype(np.float32),
+            }
+            for mod, d in item["mod_dirs"].items():
+                sample[f"input_{mod}"] = read_modality_dir(d, mod)
+            return sample
+        sample = {
+            "modality": list(self.modality),
             "scene": item["scene"], "subject": item["subject"],
             "action": item["action"], "idx": item["idx"],
-            "input_wifi-csi": load_csi_frame(item["frame_path"]),
             "output": gt[item["idx"]].astype(np.float32),
         }
+        for mod, p in item["frame_paths"].items():
+            sample[f"input_{mod}"] = load_modality_frame(p, mod)
+        return sample
 
     def materialize(self, cache_path: Optional[str] = None,
                     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Dense (csi [N,3,114,10], keypoints [N,17,3]) for HBM staging."""
+        """Dense (csi [N,3,114,10], keypoints [N,17,3]) for HBM staging.
+
+        Frame-unit WiFi-CSI only — the modality the compute models consume;
+        other modalities are served per-sample via ``__getitem__`` +
+        ``pad_collate``."""
+        if self.data_unit != "frame" or "wifi-csi" not in self.modality:
+            raise ValueError("materialize() requires frame-unit wifi-csi")
         if cache_path and os.path.exists(cache_path):
             z = np.load(cache_path)
             if len(z["csi"]) == len(self):
@@ -193,8 +278,50 @@ def make_dataset(dataset_root: str, config: Dict,
                  ) -> Tuple[MMFiDataset, MMFiDataset]:
     """(train, val) datasets from a YAML config dict (mmfi.py:326-331)."""
     forms = decode_config(config)
-    return (MMFiDataset(dataset_root, forms["train"], config["modality"]),
-            MMFiDataset(dataset_root, forms["val"], config["modality"]))
+    unit = config.get("data_unit", "frame")
+    return (MMFiDataset(dataset_root, forms["train"], config["modality"],
+                        unit),
+            MMFiDataset(dataset_root, forms["val"], config["modality"],
+                        unit))
+
+
+def pad_collate(batch: Sequence[Dict]) -> Dict:
+    """Batch samples into dense numpy arrays, zero-padding the
+    variable-length point-cloud modalities (mmwave/lidar) to the batch
+    max — the reference's ``collate_fn_padd`` (mmfi.py:334-360), numpy
+    instead of torch so batches stage straight to device."""
+    out = {"modality": batch[0]["modality"],
+           "scene": [s["scene"] for s in batch],
+           "subject": [s["subject"] for s in batch],
+           "action": [s["action"] for s in batch],
+           "idx": [s["idx"] for s in batch] if "idx" in batch[0] else None,
+           "output": np.asarray([np.asarray(s["output"]) for s in batch],
+                                np.float32)}
+    for mod in out["modality"]:
+        key = f"input_{mod}"
+        if mod in ("mmwave", "lidar"):
+            if not isinstance(batch[0][key], list):  # frame unit: [N_t, D]
+                seqs = [np.asarray(s[key], np.float32) for s in batch]
+                max_n = max(len(q) for q in seqs)
+                dense = np.zeros((len(seqs), max_n, seqs[0].shape[-1]),
+                                 np.float32)
+                for i, q in enumerate(seqs):
+                    dense[i, :len(q)] = q
+            else:  # sequence unit: list of [N_t, D] per sample
+                seqs = [[np.asarray(f, np.float32) for f in s[key]]
+                        for s in batch]
+                t_max = max(len(q) for q in seqs)
+                n_max = max(len(f) for q in seqs for f in q)
+                d = seqs[0][0].shape[-1]
+                dense = np.zeros((len(seqs), t_max, n_max, d), np.float32)
+                for i, q in enumerate(seqs):
+                    for t, f in enumerate(q):
+                        dense[i, t, :len(f)] = f
+            out[key] = dense
+        else:
+            out[key] = np.asarray([np.asarray(s[key]) for s in batch],
+                                  np.float32)
+    return out
 
 
 def split_val_test(val_items_count: int, seed: int = 41,
@@ -212,26 +339,46 @@ def split_val_test(val_items_count: int, seed: int = 41,
 def generate_synthetic_mmfi(root: str, subjects: Sequence[str] = ("S01", "S02"),
                             actions: Sequence[str] = ("A01", "A02"),
                             frames: int = 24, seed: int = 0,
-                            fmt: str = "mat") -> None:
-    """Write a miniature MM-Fi tree (CSI frames + ground truth) for tests."""
+                            fmt: str = "mat",
+                            modalities: Sequence[str] = ("wifi-csi",)
+                            ) -> None:
+    """Write a miniature MM-Fi tree (per-modality frames + ground truth)
+    for tests.  Point-cloud modalities get variable frame lengths to
+    exercise the padding collate."""
     rng = np.random.default_rng(seed)
     for subject in subjects:
         scene = scene_of(subject)
         for action in actions:
             base = os.path.join(root, scene, subject, action)
-            mod = os.path.join(base, "wifi-csi")
-            os.makedirs(mod, exist_ok=True)
             gt = rng.standard_normal((FRAMES_PER_SEQUENCE, 17, 3)).astype(
                 np.float32) * 0.3
+            os.makedirs(base, exist_ok=True)
             np.save(os.path.join(base, "ground_truth.npy"), gt)
-            for idx in range(frames):
-                frame = rng.standard_normal((3, 114, 10)) * 2 + 10
-                if idx % 7 == 3:      # exercise the NaN-repair path
-                    frame[0, :5, 2] = np.nan
-                if fmt == "mat":
-                    import scipy.io as scio
-                    scio.savemat(os.path.join(mod, f"frame{idx + 1:03d}.mat"),
-                                 {"CSIamp": frame})
-                else:
-                    np.save(os.path.join(mod, f"frame{idx + 1:03d}.npy"),
-                            frame)
+            for modality in modalities:
+                mod = os.path.join(base, modality)
+                os.makedirs(mod, exist_ok=True)
+                for idx in range(frames):
+                    stem = os.path.join(mod, f"frame{idx + 1:03d}")
+                    if modality == "wifi-csi":
+                        frame = rng.standard_normal((3, 114, 10)) * 2 + 10
+                        if idx % 7 == 3:   # exercise the NaN-repair path
+                            frame[0, :5, 2] = np.nan
+                        if fmt == "mat":
+                            import scipy.io as scio
+                            scio.savemat(stem + ".mat", {"CSIamp": frame})
+                        else:
+                            np.save(stem + ".npy", frame)
+                    elif modality in ("rgb", "infra1", "infra2"):
+                        np.save(stem + ".npy",
+                                rng.standard_normal((17, 2))
+                                .astype(np.float32))
+                    elif modality == "depth":
+                        import cv2
+                        img = (rng.uniform(500, 4000, (24, 32))
+                               .astype(np.uint16))
+                        cv2.imwrite(stem + ".png", img)
+                    else:  # lidar / mmwave: variable-length point clouds
+                        d = 3 if modality == "lidar" else 5
+                        n = int(rng.integers(5, 40))
+                        (rng.standard_normal((n, d)).astype(np.float64)
+                         .tofile(stem + ".bin"))

@@ -83,3 +83,26 @@ class WiPoseDataset:
         """Per-channel mean/std (the reference's __main__ block)."""
         return (csi.mean(axis=(0, 2, 3)).astype(np.float32),
                 csi.std(axis=(0, 2, 3)).astype(np.float32))
+
+
+def generate_synthetic_wipose(root_dir: str, per_split: int = 64,
+                              seed: int = 0) -> str:
+    """Tiny synthetic WiPose tree (.npy sample pairs) for tests/smokes.
+
+    Pose labels are a smooth function of the CSI so small models can
+    overfit; the confidence column is ~1 like real OpenPose exports.
+    """
+    rng = np.random.default_rng(seed)
+    for split in ("Train", "Test"):
+        d = os.path.join(root_dir, split)
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_split):
+            csi = rng.standard_normal((9, 30, 5)).astype(np.float32)
+            drive = csi.mean(axis=(1, 2))                # [9]
+            kp = np.zeros((18, 3), np.float32)
+            kp[:, 0] = 0.1 * np.sin(np.arange(18) + drive[:2].sum())
+            kp[:, 1] = 0.1 * np.cos(np.arange(18) + drive[2:4].sum())
+            kp[:, 2] = 1.0
+            np.save(os.path.join(d, f"s{i:04d}_csi.npy"), csi)
+            np.save(os.path.join(d, f"s{i:04d}_kp.npy"), kp)
+    return root_dir

@@ -148,6 +148,28 @@ def compute_pck_pckh_15(dt_kpts, gt_kpts, thr: float):
         thr, 2, 12, clamp=1e-6))
 
 
+def pckh_fractions_fn(scale_a: int, scale_b: int,
+                      clamp: float | None = None):
+    """Factory for an engine-compatible ``pck_fn(pred, target, thresholds)``
+    using the ``compute_pck_pckh`` normalization (target keypoints
+    ``scale_a``/``scale_b``, x/y coords only).  Used by the HPE-Li
+    robustness driver (ref HPE-Li/main.py:215-226 evaluates with
+    utils/eval.py's compute_pck_pckh, scale indices 1/11)."""
+    def fn(pred: jax.Array, target: jax.Array,
+           thresholds: Sequence[float]) -> jax.Array:
+        p = _as_keypoints(pred)[..., :2].astype(jnp.float32)
+        t = _as_keypoints(target)[..., :2].astype(jnp.float32)
+        scale = jnp.sqrt(jnp.sum((t[:, scale_a] - t[:, scale_b]) ** 2,
+                                 axis=-1))
+        if clamp is not None:
+            scale = jnp.maximum(scale, clamp)
+        dist = jnp.sqrt(jnp.sum((p - t) ** 2, axis=-1)) / scale[:, None]
+        thr = jnp.asarray(thresholds, jnp.float32)
+        return jnp.mean((dist[None] <= thr[:, None, None])
+                        .astype(jnp.float32), axis=(1, 2))
+    return fn
+
+
 def mpjpe(pred: jax.Array, target: jax.Array) -> jax.Array:
     """Mean per-joint position error (jittable; ref: utils/metrics.py:36-46)."""
     pred = _as_keypoints(pred).astype(jnp.float32)

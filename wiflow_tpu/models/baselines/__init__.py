@@ -11,3 +11,8 @@ from wiflow_tpu.models.baselines.sknet_trans import (
 from wiflow_tpu.models.baselines.wpformer import (
     ChannelTransformer, WPformer, wpformer_mmfi,
 )
+from wiflow_tpu.models.baselines.hpeli_zoo import (
+    BasicCnnHPE, DSKNetTransMMFi, DSKNetTransWipose, HPEWiPoseModel,
+    OriginalHPE, SKConvSelective, SKConvTrans, SKConvV2, SKUnitSelective,
+    SKUnitTrans, SKUnitV2,
+)

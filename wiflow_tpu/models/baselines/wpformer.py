@@ -39,17 +39,22 @@ class ResBasicBlock(nn.Module):
         cin = x.shape[-1]
         w1 = self.param("conv1_weight", nn.initializers.he_normal(),
                         (3, 3, cin, self.cout))
-        y = conv2d(x, w1, stride=(self.stride, self.stride))
+        # explicit (1,1) padding: XLA "SAME" pads asymmetrically under
+        # stride 2, torch Conv2d(padding=1) does not — parity requires
+        # torch's placement
+        y = conv2d(x, w1, stride=(self.stride, self.stride),
+                   padding=[(1, 1), (1, 1)])
         y = TorchBatchNorm(self.cout, name="bn1")(y, train=train)
         y = nn.relu(y)
         w2 = self.param("conv2_weight", nn.initializers.he_normal(),
                         (3, 3, self.cout, self.cout))
-        y = conv2d(y, w2)
+        y = conv2d(y, w2, padding=[(1, 1), (1, 1)])
         y = TorchBatchNorm(self.cout, name="bn2")(y, train=train)
         if self.stride != 1 or cin != self.cout:
             wd = self.param("down_weight", nn.initializers.he_normal(),
                             (1, 1, cin, self.cout))
-            x = conv2d(x, wd, stride=(self.stride, self.stride))
+            x = conv2d(x, wd, stride=(self.stride, self.stride),
+                       padding="VALID")
             x = TorchBatchNorm(self.cout, name="down_bn")(x, train=train)
         return nn.relu(y + x)
 
@@ -239,3 +244,78 @@ def wpformer_mmfi(compute_dtype: str = "bfloat16") -> WPformer:
                     keypoint_dims=3, trunk_widths=(64, 128, 256, 512),
                     trunk_blocks=(3, 4, 6, 3), input_mode="mmfi",
                     compute_dtype=compute_dtype)
+
+
+def resnet34_warm_start(state_dict, widths: Sequence[int] = (64, 128, 256),
+                        blocks: Sequence[int] = (3, 4, 6)):
+    """Map a torchvision ``resnet34`` state_dict onto the WPformer trunk.
+
+    Rebuild of the reference's ImageNet warm-start (ref
+    baseline/WPformer/model.py:302-344): the torch code adopts the
+    pretrained ``bn1`` and ``layer1..layer3`` (``layer4`` too for the
+    MM-Fi variant, metafi.py) while replacing ``conv1`` with a fresh
+    1-channel 3x3 stem — so the stem conv is deliberately NOT mapped.
+
+    Returns ``{'params': {'trunk': ...}, 'batch_stats': {'trunk': ...}}``
+    to pass as ``train_pose_model(init_variables=...)`` or merge into
+    ``WPformer`` variables under the ``trunk`` submodule.
+    """
+    import numpy as np
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        return np.asarray(v, np.float32)
+
+    def conv_hwio(key):
+        return arr(key).transpose(2, 3, 1, 0)          # OIHW -> HWIO
+
+    params = {"stem_bn": {"weight": arr("bn1.weight"),
+                          "bias": arr("bn1.bias")}}
+    stats = {"stem_bn": {"running_mean": arr("bn1.running_mean"),
+                         "running_var": arr("bn1.running_var")}}
+
+    for li, (width, n) in enumerate(zip(widths, blocks)):
+        for bi in range(n):
+            tp = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            p = {"conv1_weight": conv_hwio(f"{tp}.conv1.weight"),
+                 "conv2_weight": conv_hwio(f"{tp}.conv2.weight"),
+                 "bn1": {"weight": arr(f"{tp}.bn1.weight"),
+                         "bias": arr(f"{tp}.bn1.bias")},
+                 "bn2": {"weight": arr(f"{tp}.bn2.weight"),
+                         "bias": arr(f"{tp}.bn2.bias")}}
+            s = {"bn1": {"running_mean": arr(f"{tp}.bn1.running_mean"),
+                         "running_var": arr(f"{tp}.bn1.running_var")},
+                 "bn2": {"running_mean": arr(f"{tp}.bn2.running_mean"),
+                         "running_var": arr(f"{tp}.bn2.running_var")}}
+            if f"{tp}.downsample.0.weight" in state_dict:
+                p["down_weight"] = conv_hwio(f"{tp}.downsample.0.weight")
+                p["down_bn"] = {"weight": arr(f"{tp}.downsample.1.weight"),
+                                "bias": arr(f"{tp}.downsample.1.bias")}
+                s["down_bn"] = {
+                    "running_mean": arr(f"{tp}.downsample.1.running_mean"),
+                    "running_var": arr(f"{tp}.downsample.1.running_var")}
+            params[name] = p
+            stats[name] = s
+    return {"params": {"trunk": params}, "batch_stats": {"trunk": stats}}
+
+
+def merge_warm_start(variables, warm):
+    """Deep-merge ``resnet34_warm_start`` output into model variables
+    (handles FrozenDict trees by converting to plain dicts)."""
+    def to_dict(t):
+        if hasattr(t, "items"):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+
+    def deep(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                deep(dst[k], v)
+            else:
+                dst[k] = v
+    out = to_dict(variables)
+    for coll in warm:
+        deep(out.setdefault(coll, {}), warm[coll])
+    return out

@@ -101,9 +101,17 @@ def train_pose_model(
     loss_fn=None,
     to_keypoints=None,
     monitor: str = "mpe",
+    init_variables: Optional[Dict[str, Any]] = None,
+    frozen_params: Optional[Tuple[str, ...]] = None,
     verbose: bool = True,
 ) -> TrainResult:
-    """Train, validate with early stopping, then test with the best model."""
+    """Train, validate with early stopping, then test with the best model.
+
+    ``init_variables``: pretrained {'params', 'batch_stats'} subtrees
+    merged over the fresh init (e.g. a trained denoiser encoder).
+    ``frozen_params``: top-level param subtree names excluded from
+    optimization (ref HPE-Li frozen AE encoders).
+    """
     t_start = time.time()
     os.makedirs(output_dir, exist_ok=True)
     tc = cfg.train
@@ -111,7 +119,7 @@ def train_pose_model(
     mesh = make_mesh(cfg.mesh.num_devices)
     if model is None:
         model = WiFlowPoseModel(cfg.model)
-    tx = make_optimizer(tc.optim)
+    tx = make_optimizer(tc.optim, frozen_subtrees=frozen_params)
 
     # --- stage data in HBM, sharded over the data axis ------------------
     ddt = jnp.dtype(tc.data_dtype)
@@ -136,6 +144,15 @@ def train_pose_model(
 
     # --- init / resume ---------------------------------------------------
     state = create_train_state(model, tx, train_x[:1], seed=tc.seed)
+    if init_variables is not None:
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        for k, v in init_variables.get("params", {}).items():
+            params[k] = v
+        for k, v in init_variables.get("batch_stats", {}).items():
+            stats[k] = v
+        state = state._replace(params=params, batch_stats=stats,
+                               opt_state=tx.init(params))
     state = TrainState(*replicate(mesh, tuple(state)))
     scheduler = ReduceLROnPlateau.from_config(tc.optim, mode=mode)
     stopper = EarlyStopping(patience=tc.patience, mode=mode)

@@ -19,15 +19,24 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import optax
 
 from wiflow_tpu.core.config import OptimConfig
 
 
-def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: OptimConfig,
+                   frozen_subtrees: Optional[Tuple[str, ...]] = None
+                   ) -> optax.GradientTransformation:
     """Optimizer per config: AdamW (trunk, train.py:105-110), plain Adam
-    (WiSPPN, wisppn.py:953) or SGD+momentum (WPformer, model.py:930-935)."""
+    (WiSPPN, wisppn.py:953) or SGD+momentum (WPformer, model.py:930-935).
+
+    ``frozen_subtrees``: top-level param-dict keys whose updates are
+    zeroed — the TPU equivalent of the reference's frozen denoiser
+    encoders (ref HPE-Li/model/HPE_five_denoiser.py: requires_grad=False
+    on the pretrained AE stack).
+    """
     if cfg.kind == "adamw":
         inner = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
@@ -40,8 +49,15 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             learning_rate=cfg.lr, momentum=cfg.momentum)
     else:
         raise ValueError(f"unknown optimizer kind {cfg.kind!r}")
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm), inner)
+    parts = [optax.clip_by_global_norm(cfg.grad_clip_norm), inner]
+    if frozen_subtrees:
+        frozen = tuple(frozen_subtrees)
+
+        def mask(updates):
+            return {k: jax.tree.map(lambda _: k in frozen, v)
+                    for k, v in updates.items()}
+        parts.append(optax.masked(optax.set_to_zero(), mask))
+    return optax.chain(*parts)
 
 
 def epoch_schedule_lr(cfg: OptimConfig, epoch: int) -> float:
@@ -63,16 +79,25 @@ def epoch_schedule_lr(cfg: OptimConfig, epoch: int) -> float:
     return cfg.lr
 
 
+def _inject_index(opt_state: Tuple) -> int:
+    for i, s in enumerate(opt_state):
+        if hasattr(s, "hyperparams"):
+            return i
+    raise ValueError("no inject_hyperparams state in the optimizer chain")
+
+
 def set_learning_rate(opt_state: Tuple, lr: float) -> Tuple:
     """Functionally update the injected learning rate (epoch boundary)."""
-    clip_state, inject_state = opt_state
-    hp = dict(inject_state.hyperparams)
+    i = _inject_index(opt_state)
+    hp = dict(opt_state[i].hyperparams)
     hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return (clip_state, inject_state._replace(hyperparams=hp))
+    return tuple(opt_state[:i]) + (opt_state[i]._replace(hyperparams=hp),) \
+        + tuple(opt_state[i + 1:])
 
 
 def get_learning_rate(opt_state: Tuple) -> float:
-    return float(opt_state[1].hyperparams["learning_rate"])
+    return float(opt_state[_inject_index(opt_state)]
+                 .hyperparams["learning_rate"])
 
 
 @dataclasses.dataclass
