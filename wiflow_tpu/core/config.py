@@ -74,6 +74,14 @@ class ModelConfig:
     # ablation switches (ref README.md:240-248): TCN conv flavour and
     # the axial-attention stage
     tcn_conv: str = "grouped"               # 'grouped'|'plain'|'depthwise'
+    # MXU lowering of the grouped convs: 'block_diag' runs them as dense
+    # matmuls over block-diagonal weights (same math, ~1.8x faster TCN on
+    # v5e; applies to the training forward too).  'grouped' keeps the
+    # per-group einsum (useful on CPU where the dense form is pure waste).
+    tcn_matmul: str = "block_diag"
+    # attention lowering in the flax module (train + module eval):
+    # 'auto' = fused Pallas core on TPU, XLA decomposition elsewhere
+    attention_module_impl: str = "auto"
     use_attention: bool = True
     # compute dtype for the forward pass; params stay fp32
     compute_dtype: str = "bfloat16"

@@ -61,6 +61,8 @@ class TCNLevel(nn.Module):
     # ablation variants (ref README.md:244-247): 'grouped' (full model),
     # 'plain' (regular conv1d, groups=1), 'depthwise' (groups=channels)
     conv_kind: str = "grouped"
+    # MXU lowering: 'grouped' per-group einsum or 'block_diag' dense matmul
+    matmul_impl: str = "block_diag"
 
     def _groups(self, channels: int) -> int:
         if self.conv_kind == "plain":
@@ -101,7 +103,8 @@ class TCNLevel(nn.Module):
             res = x
 
         out = causal_grouped_conv1d(
-            x.reshape(b, t, g1, ci_in), w1g, dilation=self.dilation
+            x.reshape(b, t, g1, ci_in), w1g, dilation=self.dilation,
+            impl=self.matmul_impl if g1 > 1 else "grouped",
         ).reshape(b, t, self.n_in)
         out = TorchBatchNorm(self.n_in, name="bn1_group")(out, train=train)
         out = silu(out)
@@ -111,7 +114,8 @@ class TCNLevel(nn.Module):
         out = TorchDropout(self.dropout, name="dropout1")(out, train=train)
 
         out = causal_grouped_conv1d(
-            out.reshape(b, t, g2, ci_out), w2g, dilation=self.dilation
+            out.reshape(b, t, g2, ci_out), w2g, dilation=self.dilation,
+            impl=self.matmul_impl if g2 > 1 else "grouped",
         ).reshape(b, t, self.n_out)
         out = TorchBatchNorm(self.n_out, name="bn2_group")(out, train=train)
         out = silu(out)
@@ -132,6 +136,7 @@ class TCNStack(nn.Module):
     groups: int
     dropout: float
     conv_kind: str = "grouped"
+    matmul_impl: str = "block_diag"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -140,7 +145,8 @@ class TCNStack(nn.Module):
             x = TCNLevel(
                 n_in=n_in, n_out=n_out, kernel_size=self.kernel_size,
                 dilation=2 ** i, groups=self.groups, dropout=self.dropout,
-                conv_kind=self.conv_kind, name=f"network_{i}",
+                conv_kind=self.conv_kind, matmul_impl=self.matmul_impl,
+                name=f"network_{i}",
             )(x, train=train)
             n_in = n_out
         return x
@@ -195,6 +201,46 @@ class ConvBlock(nn.Module):
         return silu(out + identity)
 
 
+class LogitsBNScale(nn.Module):
+    """BatchNorm-on-logits reduced to its softmax-visible part.
+
+    Declares the SAME variables as ``TorchBatchNorm`` (weight/bias params,
+    running_mean/running_var stats — checkpoint- and spec-compatible with
+    the ref ``bn_similarity`` BatchNorm2d, attention.py:26) and updates the
+    running stats with torch semantics, but returns only the per-group
+    multiplicative scale ``gamma / sqrt(var + eps)``: the mean/bias terms
+    are constant along the softmax axis and cancel exactly, so no
+    normalize pass over the [G, L, L, n] logits tensor is ever needed.
+    Input layout: ``[G, ..., ...]`` with groups leading (channel_axis=0).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, moments, *, train: bool, count: int = 2) -> jax.Array:
+        """``moments``: (mean [G], var [G]) f32 batch moments of the raw
+        logits (ignored in eval mode); ``count``: elements per group, for
+        torch's unbiased running-var update."""
+        gamma = self.param("weight", nn.initializers.ones, (self.features,))
+        self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "running_mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "running_var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        if train:
+            mean, var = moments
+            if not self.is_initializing():
+                unbiased = var * (count / max(count - 1, 1))
+                m = 0.1   # torch BatchNorm momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            var = ra_var.value
+        return (gamma * jax.lax.rsqrt(var + 1e-5)).astype(jnp.float32)
+
+
 class AxialAttention(nn.Module):
     """Grouped single-axis self-attention with BN on logits.
 
@@ -210,6 +256,9 @@ class AxialAttention(nn.Module):
     out_planes: int
     groups: int = 8
     width: bool = False
+    # attention lowering inside the module: 'xla' decomposition, 'fused'
+    # Pallas core (custom VJP), or 'auto' (fused on TPU backends)
+    train_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -236,21 +285,66 @@ class AxialAttention(nn.Module):
         k = k.reshape(n, length, self.groups, gp)
         v = v.reshape(n, length, self.groups, gp)
 
-        # Keep the huge folded-batch dim (n = B*H or B*W, up to ~10^5)
-        # minor-most in the materialized logits: [G, L, L, n] tiles the
-        # (8, 128) TPU layout near-perfectly, whereas the torch-ordered
-        # [n, G, L, L] pads the trailing 20x20 dims 7.7x (11 GB at batch
-        # 8k — measured OOM).  Same math as ref attention.py:61-64.
-        logits = jnp.einsum("bigc,bjgc->gijb", q, k,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        logits = TorchBatchNorm(self.groups, channel_axis=0,
-                                name="bn_similarity")(logits, train=train)
-        sim = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(x.dtype)
-        out = jnp.einsum("gijb,bjgc->bigc", sim, v,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
-        out = out.reshape(n, length, self.out_planes)
+        # BatchNorm2d(groups) on the logits followed by softmax over j
+        # (ref attention.py:62-63).  Softmax is invariant to additive
+        # shifts along j, and the BN's mean/bias terms are constant along
+        # j — so BN-then-softmax equals softmax(gamma/sigma * logits)
+        # POINTWISE, for every input; gradients are automatically correct
+        # (equal functions have equal derivatives).  The batch variance is
+        # computed exactly, without materializing logits, via the Gram
+        # identity in ops/pallas/axial_attention_train.logits_moments.
+        from wiflow_tpu.ops.pallas.axial_attention_train import (
+            axial_core, logits_moments, logits_moments_fused,
+        )
+        c_out = self.out_planes
+        count = n * length * length
+        use_fused = (self.train_impl == "fused" or (
+            self.train_impl == "auto" and jax.default_backend() == "tpu")) \
+            and not self.is_initializing()
+
+        if use_fused:
+            # fused Pallas path (custom-VJP kernels): logits never touch
+            # HBM, neither in the attention core nor in the BN moments.
+            # Channels go to the kernels' scrambled (cc, g) order; the
+            # inverse permutation restores standard order after.
+            from wiflow_tpu.ops.pallas.axial_attention import scramble_perm
+            import numpy as _np
+            perm = scramble_perm(c_out, self.groups)
+            inv = _np.argsort(perm)
+            def to_t(a):
+                a = a.reshape(n, length, c_out)[..., perm]
+                return jnp.transpose(a, (1, 2, 0))
+            qT, kT, vT = to_t(q), to_t(k), to_t(v)
+            interp = jax.default_backend() != "tpu"   # CPU: interpret mode
+            moments = None
+            if train:
+                moments = logits_moments_fused(qT, kT, self.groups, count,
+                                               128, interp)
+            scale = LogitsBNScale(self.groups, name="bn_similarity")(
+                moments, train=train, count=count)
+            outT = axial_core(qT, kT, vT, scale, self.groups, 128, interp)
+            out = jnp.transpose(outT, (2, 0, 1))[..., inv]
+        else:
+            moments = None
+            if train:
+                moments = logits_moments(q.reshape(n, length, c_out),
+                                         k.reshape(n, length, c_out),
+                                         self.groups)
+            scale = LogitsBNScale(self.groups, name="bn_similarity")(
+                moments, train=train, count=count)
+            # XLA fallback: batch-minor [G, L, L, n] logits tile the
+            # (8, 128) layout; torch order pads the 20x20 dims 7.7x.
+            logits = jnp.einsum("bigc,bjgc->gijb", q, k,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            sim = jax.nn.softmax(
+                logits.astype(jnp.float32) * scale[:, None, None, None],
+                axis=2).astype(x.dtype)
+            out = jnp.einsum("gijb,bjgc->bigc", sim, v,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(x.dtype)
+            out = out.reshape(n, length, self.out_planes)
         out = TorchBatchNorm(self.out_planes, name="bn_output")(out, train=train)
 
         if self.width:
@@ -264,13 +358,16 @@ class DualAxialAttention(nn.Module):
 
     planes: int
     groups: int = 8
+    train_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         x = AxialAttention(self.planes, self.planes, self.groups,
-                           width=True, name="width_axis")(x, train=train)
+                           width=True, train_impl=self.train_impl,
+                           name="width_axis")(x, train=train)
         x = AxialAttention(self.planes, self.planes, self.groups,
-                           width=False, name="height_axis")(x, train=train)
+                           width=False, train_impl=self.train_impl,
+                           name="height_axis")(x, train=train)
         return x
 
 
@@ -309,6 +406,7 @@ class WiFlowPoseModel(nn.Module):
             groups=cfg.tcn_groups,
             dropout=cfg.dropout,
             conv_kind=cfg.tcn_conv,
+            matmul_impl=cfg.tcn_matmul,
             name="tcn",
         )(x, train=train)                       # [B, 20, 240]
 
@@ -329,6 +427,7 @@ class WiFlowPoseModel(nn.Module):
         if cfg.use_attention:   # ablation '- axial attention' (README:248)
             x = DualAxialAttention(cfg.conv_channels[-1],
                                    groups=cfg.attention_groups,
+                                   train_impl=cfg.attention_module_impl,
                                    name="attention")(x, train=train)
 
         # decoder (ref: pose_model.py:44-51): 3x3 conv -> BN -> SiLU ->

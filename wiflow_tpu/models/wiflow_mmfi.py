@@ -46,6 +46,8 @@ class MMFiModelConfig:
     dropout: float = 0.3                     # ref wiflow.py:1185
     conv_dropout: float = 0.3
     compute_dtype: str = "bfloat16"
+    tcn_matmul: str = "block_diag"           # see ModelConfig.tcn_matmul
+    attention_module_impl: str = "auto"      # see ModelConfig
 
     @property
     def input_channels(self) -> int:
@@ -78,6 +80,7 @@ class WiFlowMMFiModel(nn.Module):
             kernel_size=cfg.tcn_kernel_size,
             groups=cfg.tcn_groups,
             dropout=cfg.dropout,
+            matmul_impl=cfg.tcn_matmul,
             name="tcn",
         )(x, train=train)                                  # [B, 10, 288]
 
@@ -103,6 +106,7 @@ class WiFlowMMFiModel(nn.Module):
 
         x = DualAxialAttention(cfg.conv_channels[-1],
                                groups=cfg.attention_groups,
+                               train_impl=cfg.attention_module_impl,
                                name="attention")(x, train=train)
 
         # decoder on the LAST timestep (ref :523): [B, 17, 1, 64]

@@ -27,7 +27,26 @@ import jax
 import jax.numpy as jnp
 
 
-def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.Array:
+def block_diagonal_weights(w: jax.Array) -> jax.Array:
+    """[K, G, Ci, Co] grouped weights -> dense [K, G*Ci, G*Co].
+
+    Grouped matmuls with 12-27 channels per group pad their contractions
+    to 128 MXU lanes (4.7x waste); the dense block-diagonal form spends
+    more FLOPs (trivial at these sizes) on perfectly tiled 240-540-wide
+    matmuls — measured 1.8x faster for the TCN on v5e (DESIGN.md).
+    Differentiable (gradients flow through the scatter), so usable in the
+    training forward, not just the BN-folded serving path.
+    """
+    k, g, ci, co = w.shape
+    out = jnp.zeros((k, g * ci, g * co), w.dtype)
+    for gi in range(g):
+        out = out.at[:, gi * ci:(gi + 1) * ci, gi * co:(gi + 1) * co].set(
+            w[:, gi])
+    return out
+
+
+def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int,
+                          impl: str = "grouped") -> jax.Array:
     """Causal dilated grouped 1-D conv.
 
     Numerically identical to torch ``Conv1d(C, C', k, padding=(k-1)*d,
@@ -40,6 +59,9 @@ def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.A
          matching torch's grouped-channel layout).
       w: ``[K, G, Ci, Co]`` weights (tap-major).
       dilation: dilation ``d``; left padding is ``(K-1)*d``.
+      impl: 'grouped' (per-group einsum) or 'block_diag' (dense matmul on
+         block-diagonal weights — same math, MXU-tile-friendly; the
+         training-path analog of the serving kernels' layout).
 
     Returns:
       ``[B, T, G, Co]``.
@@ -48,6 +70,23 @@ def causal_grouped_conv1d(x: jax.Array, w: jax.Array, *, dilation: int) -> jax.A
     k = w.shape[0]
     t = x.shape[1]
     pad = (k - 1) * dilation
+
+    if impl == "block_diag":
+        b, _, g, ci = x.shape
+        co = w.shape[-1]
+        wbd = block_diagonal_weights(w)
+        xf = x.reshape(b, t, g * ci)
+        xp = jnp.pad(xf, ((0, 0), (pad, 0), (0, 0)))
+        out = None
+        for j in range(k):
+            seg = jax.lax.slice_in_dim(xp, j * dilation, j * dilation + t,
+                                       axis=1)
+            y = jnp.einsum("btc,co->bto", seg, wbd[j],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            out = y if out is None else out + y
+        return out.astype(x.dtype).reshape(b, t, g, co)
+
     xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0), (0, 0)))
     out = None
     for j in range(k):
