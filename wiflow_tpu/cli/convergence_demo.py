@@ -1,0 +1,150 @@
+"""Reference-scale convergence demonstration (VERDICT r1 item 4).
+
+Trains WiFlow for the reference's full recipe — 360k windows, batch 256,
+AdamW lr 1e-4 wd 5e-5, ReduceLROnPlateau(0.5, patience 3) on val MPE,
+early stop patience 5, best-checkpoint, test sweep, full artifact dump
+(ref /root/reference/train.py:48-580) — on synthetic data with the same
+structure as data/synthetic.py (smooth pose trajectories + velocity
+through a random mixing map + noise), generated ON DEVICE so the axon
+tunnel's host->device bandwidth doesn't bound the run.
+
+The real dataset is not redistributable; the point here is a measured
+end-to-end run at reference scale showing the plateau scheduler and
+early stopping behave as train.py:112-121,361-384 do, with the wall
+clock recorded.
+
+Usage:
+  python -m wiflow_tpu.cli.convergence_demo --windows 360000 --epochs 50 \
+      --output_dir measured/convergence
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
+                  window: int = 20, keypoints: int = 15,
+                  chunk: int = 15_000):
+    """On-device [n, 540, 20] CSI windows + [n, 15, 2] last-frame poses.
+
+    Mirrors data/synthetic.py's generative structure: per-window smooth
+    pose trajectories (sums of random sinusoids), velocity features, one
+    global mixing map into subcarrier space, additive noise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k2 = keypoints * 2
+    kmix = jax.random.key(seed)
+    mix = jax.random.normal(kmix, (2 * k2, num_subcarriers), jnp.float32)
+
+    @jax.jit
+    def gen_chunk(key):
+        k1, k2_, k3, k4, k5 = jax.random.split(key, 5)
+        m = chunk
+        t = jnp.arange(window, dtype=jnp.float32)[None, :, None]
+        base = 0.2 * jax.random.normal(k1, (m, 1, k2))
+        amp = 0.08 * jax.random.normal(k2_, (m, 1, k2))
+        freq = jax.random.uniform(k3, (m, 1, k2), minval=0.05, maxval=0.4)
+        phase = jax.random.uniform(k4, (m, 1, k2), minval=0.0,
+                                   maxval=2 * jnp.pi)
+        kp = base + amp * jnp.sin(freq * t + phase)        # [m, T, 30]
+        vel = jnp.diff(kp, axis=1, prepend=kp[:, :1])
+        feats = jnp.concatenate([kp, 5.0 * vel], axis=-1)  # [m, T, 60]
+        csi = jnp.einsum("mtf,fc->mtc", feats, mix) \
+            + 0.05 * jax.random.normal(k5, (m, window, num_subcarriers)) \
+            + 1.0
+        x = jnp.transpose(csi, (0, 2, 1)).astype(jnp.bfloat16)
+        y = (kp[:, -1, :].reshape(m, keypoints, 2) + 0.5) \
+            .astype(jnp.float32)                            # ~[0, 1] m
+        return x, y
+
+    xs, ys = [], []
+    key = jax.random.key(seed + 1)
+    done = 0
+    while done < n:
+        key, sub = jax.random.split(key)
+        x, y = gen_chunk(sub)
+        xs.append(x)
+        ys.append(y)
+        done += chunk
+    x = jnp.concatenate(xs)[:n]
+    y = jnp.concatenate(ys)[:n]
+    jax.block_until_ready((x, y))
+    return x, y
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="reference-scale convergence run")
+    p.add_argument("--windows", type=int, default=360_000)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)       # train.py:105
+    p.add_argument("--output_dir", type=str,
+                   default="measured/convergence")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_videos", action="store_true")
+    args = p.parse_args(argv)
+
+    from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
+    from wiflow_tpu.eval.artifacts import write_all_artifacts
+    from wiflow_tpu.train.loop import train_pose_model
+
+    t0 = time.time()
+    x, y = synth_windows(args.windows, args.seed)
+    n = args.windows
+    n_tr, n_va = int(n * 0.7), int(n * 0.15)
+    train = (x[:n_tr], y[:n_tr])
+    val = (x[n_tr:n_tr + n_va], y[n_tr:n_tr + n_va])
+    test = (x[n_tr + n_va:], y[n_tr + n_va:])
+    gen_sec = time.time() - t0
+    print(f"[data] {n} windows generated on-device in {gen_sec:.1f}s "
+          f"(train {n_tr} / val {n_va} / test {n - n_tr - n_va})")
+
+    cfg = Config(
+        train=TrainConfig(batch_size=args.batch_size, num_epochs=args.epochs,
+                          patience=5, seed=args.seed,
+                          optim=OptimConfig(lr=args.lr, weight_decay=5e-5)),
+        mesh=MeshConfig(num_devices=1), output_dir=args.output_dir)
+
+    t1 = time.time()
+    result = train_pose_model(train, val, test, cfg, args.output_dir,
+                              resume=False)
+    train_sec = time.time() - t1
+    paths = write_all_artifacts(result, args.output_dir,
+                                make_videos=not args.no_videos)
+
+    summary = {
+        "windows": n,
+        "epochs_requested": args.epochs,
+        "epochs_run": result.epochs_run,
+        "best_epoch": result.best_epoch + 1,
+        "early_stopped": result.epochs_run < args.epochs,
+        "train_wall_clock_sec": round(train_sec, 1),
+        "data_gen_sec": round(gen_sec, 1),
+        "test_metrics": {k: round(float(v), 6)
+                         for k, v in result.test_metrics.items()},
+        "final_lr": result.history["lr"][-1],
+        "lr_reductions": sorted(set(result.history["lr"]), reverse=True),
+        "val_mpe_trajectory": [round(float(v), 5)
+                               for v in result.history["val_mpe"]],
+        "val_pck20_trajectory": [round(float(v), 5)
+                                 for v in result.history["val_pck"]],
+        "artifacts": sorted(os.path.basename(p) for p in paths.values()),
+    }
+    out = os.path.join(args.output_dir, "run_summary.json")
+    with open(out, "w", encoding="utf-8") as fd:
+        json.dump(summary, fd, indent=2)
+    print(f"[done] {result.epochs_run} epochs in {train_sec / 60:.1f} min "
+          f"| test PCK@20 {result.test_metrics['pck@0.2'] * 100:.2f}% "
+          f"MPJPE {result.test_metrics['mpe']:.4f} m | summary -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
