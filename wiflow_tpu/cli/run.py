@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", choices=["random", "loso"], default="random")
     p.add_argument("--test_subject", type=int, default=1,
                    help="held-out subject for --split loso (Setting 2)")
+    p.add_argument("--subject_map", type=str, default=None,
+                   help="JSON file mapping file_id -> subject int; "
+                        "overrides the file-name-based inference for "
+                        "--split loso")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset into --data_dir if "
                         "the artifacts are missing")
@@ -103,7 +107,13 @@ def main(argv=None) -> int:
           f"({'npy fast' if dataset.use_npy_mode else 'csv'} mode)")
 
     if args.split == "loso":
-        subjects = [infer_subject(f) for f in dataset.file_ids]
+        if args.subject_map:
+            import json as _json
+            with open(args.subject_map, "r", encoding="utf-8") as fd:
+                smap = _json.load(fd)
+            subjects = [int(smap[f]) for f in dataset.file_ids]
+        else:
+            subjects = [infer_subject(f) for f in dataset.file_ids]
         tr, va, te = loso_split(subjects, args.test_subject, seed=args.seed)
         print(f"[split] LOSO: test subject {args.test_subject} "
               f"({len(te)} files)")

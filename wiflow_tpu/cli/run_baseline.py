@@ -115,6 +115,16 @@ def main(argv=None) -> int:
                     args.pam_root, dataset.keypoints_files,
                     dataset.window_to_file, dataset.window_to_frame, idx)
             else:
+                if name == "train":
+                    print("=" * 70)
+                    print("NOTICE: no --pam_root given; PAM labels are "
+                          "SYNTHESIZED from keypoints")
+                    print("(diagonal = coords, off-diagonals = pairwise "
+                          "midpoints, confidence = 1).")
+                    print("Results are NOT comparable to runs on the real "
+                          "wisppn_labels{N} matrices")
+                    print("(ref baseline/WiSPPN/wisppn.py:978-1000).")
+                    print("=" * 70)
                 labels = keypoints_to_pam(kp)
             parts[name] = (csi, labels)
         else:

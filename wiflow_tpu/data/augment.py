@@ -25,24 +25,30 @@ import jax.numpy as jnp
 
 def time_masking(x: jax.Array, key: jax.Array, mask_ratio: float = 0.3,
                  mask_len_range: Tuple[int, int] = (5, 10)) -> jax.Array:
-    """Span masking along the subcarrier axis of ``[B, S, T]``."""
-    b, s, t = x.shape
+    """Span masking along the TIME axis of ``[B, C, T]``.
+
+    Torch-exact semantics (ref utils/augmentation.py:3-19): per sample
+    with prob ``mask_ratio``, 1-2 spans of 5-9 time steps are replaced by
+    each channel's mean over time; span starts are uniform over
+    ``[0, T - len)`` like ``torch.randint(0, T - mask_len)``.
+    """
+    b, c, t = x.shape
     k_apply, k_num, k_len, k_start = jax.random.split(key, 4)
     apply = jax.random.bernoulli(k_apply, mask_ratio, (b,))          # [B]
     num_masks = jax.random.randint(k_num, (b,), 1, 3)                # 1..2
     lens = jax.random.randint(k_len, (b, 2), mask_len_range[0],
                               mask_len_range[1])                     # 5..9
-    starts = jax.random.randint(k_start, (b, 2), 0, s)               # [B,2]
-    starts = jnp.minimum(starts, s - lens)                           # in-range
+    u = jax.random.uniform(k_start, (b, 2))
+    starts = jnp.floor(u * (t - lens)).astype(jnp.int32)  # [0, T-len)
 
-    pos = jnp.arange(s)[None, None, :]                               # [1,1,S]
+    pos = jnp.arange(t)[None, None, :]                               # [1,1,T]
     span = (pos >= starts[..., None]) & (pos < (starts + lens)[..., None])
     active = jnp.arange(2)[None, :] < num_masks[:, None]             # [B,2]
-    masked = jnp.any(span & active[..., None], axis=1)               # [B,S]
+    masked = jnp.any(span & active[..., None], axis=1)               # [B,T]
     masked &= apply[:, None]
 
-    mean_per_t = jnp.mean(x, axis=1, keepdims=True)                  # [B,1,T]
-    return jnp.where(masked[:, :, None], mean_per_t, x)
+    mean_per_c = jnp.mean(x, axis=2, keepdims=True)                  # [B,C,1]
+    return jnp.where(masked[:, None, :], mean_per_c, x)
 
 
 def add_noise(x: jax.Array, key: jax.Array, noise_level: float = 0.05

@@ -80,15 +80,24 @@ def load_pam_labels_for_windows(
     pam_root: str, file_ids, window_to_file, window_to_frame,
     indices: np.ndarray, subject_dirs: Optional[Dict[str, str]] = None,
     num_keypoints: int = 15,
+    file_subjects: Optional[Dict[str, int]] = None,
 ) -> np.ndarray:
     """Batch-load PAM labels following the reference's path convention
     ``{pam_root}/wisppn_labels{subject}/{file_id}_dual_cropped_frame_
-    {frame:06d}.mat`` (ref baseline/PerUnet/perunet.py:137-147)."""
+    {frame:06d}.mat`` (ref baseline/PerUnet/perunet.py:137-147).
+
+    The subject directory comes from ``file_subjects`` (explicit
+    file-id -> subject mapping) when given, otherwise from
+    ``splits.infer_subject`` on the file id (which raises rather than
+    guessing when no subject tag is present)."""
+    from wiflow_tpu.data.splits import infer_subject
+
     out = None
     for row, idx in enumerate(np.asarray(indices)):
         fid = file_ids[int(window_to_file[idx])]
         frame = int(window_to_frame[idx])
-        subject = "".join(ch for ch in fid if ch.isdigit())[:1] or "1"
+        subject = (file_subjects[fid] if file_subjects is not None
+                   else infer_subject(fid))
         path = os.path.join(pam_root, f"wisppn_labels{subject}",
                             f"{fid}_dual_cropped_frame_{frame:06d}.mat")
         mat = load_pam_mat(path)

@@ -51,7 +51,11 @@ def expand_to_samples(window_ranges: np.ndarray,
     return np.concatenate(parts)
 
 
-_SUBJECT_RE = re.compile(r"(?:subject|person|user|s)[_\-]?(\d+)", re.IGNORECASE)
+# token-anchored: "subject3", "user_2", "s05" as a path token — but not a
+# bare digit run inside an unrelated word ("files3") (VERDICT r1 weak #6;
+# --subject_map in cli/run.py provides the explicit escape hatch)
+_SUBJECT_RE = re.compile(
+    r"(?:^|[_\-/])(?:subject|person|user|s)[_\-]?(\d+)", re.IGNORECASE)
 
 
 def infer_subject(file_id: str) -> int:
