@@ -29,18 +29,22 @@ import time
 
 def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
                   window: int = 20, keypoints: int = 15,
-                  chunk: int = 15_000):
+                  chunk: int = 15_000, mix_seed: int = 7):
     """On-device [n, 540, 20] CSI windows + [n, 15, 2] last-frame poses.
 
     Mirrors data/synthetic.py's generative structure: per-window smooth
     pose trajectories (sums of random sinusoids), velocity features, one
     global mixing map into subcarrier space, additive noise.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     k2 = keypoints * 2
-    kmix = jax.random.key(seed)
+    # the CSI<->pose mapping must be IDENTICAL across splits (train and
+    # val/test share one world); only the trajectories vary with ``seed``
+    kmix = jax.random.key(mix_seed)
     mix = jax.random.normal(kmix, (2 * k2, num_subcarriers), jnp.float32)
 
     @jax.jit
@@ -64,19 +68,26 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
             .astype(jnp.float32)                            # ~[0, 1] m
         return x, y
 
-    xs, ys = [], []
+    # fill preallocated buffers with donation — a concat of chunk lists
+    # would double peak HBM (measured OOM at 360k windows on 16 GB)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def write_chunk(xbuf, ybuf, xc, yc, offset):
+        return (jax.lax.dynamic_update_slice(xbuf, xc, (offset, 0, 0)),
+                jax.lax.dynamic_update_slice(ybuf, yc, (offset, 0, 0)))
+
+    xbuf = jnp.zeros((n, num_subcarriers, window), jnp.bfloat16)
+    ybuf = jnp.zeros((n, keypoints, 2), jnp.float32)
     key = jax.random.key(seed + 1)
     done = 0
     while done < n:
         key, sub = jax.random.split(key)
-        x, y = gen_chunk(sub)
-        xs.append(x)
-        ys.append(y)
-        done += chunk
-    x = jnp.concatenate(xs)[:n]
-    y = jnp.concatenate(ys)[:n]
-    jax.block_until_ready((x, y))
-    return x, y
+        xc, yc = gen_chunk(sub)
+        m = min(chunk, n - done)
+        xbuf, ybuf = write_chunk(xbuf, ybuf, xc[:m], yc[:m],
+                                 jnp.int32(done))
+        done += m
+    jax.block_until_ready((xbuf, ybuf))
+    return xbuf, ybuf
 
 
 def main(argv=None) -> int:
@@ -96,12 +107,13 @@ def main(argv=None) -> int:
     from wiflow_tpu.train.loop import train_pose_model
 
     t0 = time.time()
-    x, y = synth_windows(args.windows, args.seed)
     n = args.windows
     n_tr, n_va = int(n * 0.7), int(n * 0.15)
-    train = (x[:n_tr], y[:n_tr])
-    val = (x[n_tr:n_tr + n_va], y[n_tr:n_tr + n_va])
-    test = (x[n_tr + n_va:], y[n_tr + n_va:])
+    # per-split buffers: slicing one big array would transiently double
+    # HBM while the parent is alive
+    train = synth_windows(n_tr, args.seed)
+    val = synth_windows(n_va, args.seed + 101)
+    test = synth_windows(n - n_tr - n_va, args.seed + 202)
     gen_sec = time.time() - t0
     print(f"[data] {n} windows generated on-device in {gen_sec:.1f}s "
           f"(train {n_tr} / val {n_va} / test {n - n_tr - n_va})")

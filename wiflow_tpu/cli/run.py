@@ -61,12 +61,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_videos", action="store_true")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--grad_accum_steps", type=int, default=1)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the run here "
+                        "(SURVEY §5 tracing; view with TensorBoard or "
+                        "xprof)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans: fail fast at the op that "
+                        "produced a NaN (SURVEY §5 sanitizers)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_seed(args.seed)
+
+    import jax
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    profile_ctx = None
+    if args.profile_dir:
+        profile_ctx = jax.profiler.trace(args.profile_dir,
+                                         create_perfetto_link=False)
+        profile_ctx.__enter__()
 
     from wiflow_tpu.core.config import (
         Config, DataConfig, MeshConfig, OptimConfig, TrainConfig,
