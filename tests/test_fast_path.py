@@ -78,14 +78,15 @@ def test_fused_attention_dual_matches_v2():
 
 
 def test_fast_forward_matches_module():
+    # batch 2: interpret-mode kernel time scales with rows on 1 CPU core
     model = WiFlowPoseModel(CFG)
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((4, 540, 20)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 540, 20)).astype(np.float32))
     v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.key(0)}, x[:1]))
     ref = model.apply(v, x, train=False)
     out = fast_forward(v, x, CFG, attention_block=8, interpret=True)
-    assert out.shape == (4, 15, 2)
+    assert out.shape == (2, 15, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 
@@ -124,12 +125,12 @@ def test_fast_forward_mmfi_matches_module():
     cfg = dataclasses.replace(MMFiModelConfig(), compute_dtype="float32")
     model = WiFlowMMFiModel(cfg)
     rng = np.random.default_rng(6)
-    x = jnp.asarray(rng.standard_normal((4, 3, 114, 10)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 3, 114, 10)).astype(np.float32))
     v = _nontrivial_stats(jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.key(0)}, x[:1]))
     ref = model.apply(v, x, train=False)
     out = fast_forward_mmfi(v, x, cfg, attention_block=8, interpret=True)
-    assert out.shape == (4, 17, 3)
+    assert out.shape == (2, 17, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 

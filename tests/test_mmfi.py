@@ -187,7 +187,7 @@ def test_mmfi_smoke_training(mmfi_root, tmp_path):
 
     ds = MMFiDataset(mmfi_root, {"S01": ["A01", "A02"], "S02": ["A01"]})
     csi, kp = ds.materialize()
-    cfg = Config(train=TrainConfig(batch_size=16, num_epochs=2,
+    cfg = Config(train=TrainConfig(batch_size=16, num_epochs=1,
                                    scan_epochs=False,
                                    optim=OptimConfig(lr=1e-3)),
                  mesh=MeshConfig(num_devices=4))
@@ -199,7 +199,7 @@ def test_mmfi_smoke_training(mmfi_root, tmp_path):
         connections=MMFI_SKELETON_CONNECTIONS,
         pck_fn=root_relative_pck_fractions, mpe_fn=root_aligned_mpjpe,
         monitor="pck", verbose=False)
-    assert len(res.history["train_loss"]) == 2
+    assert len(res.history["train_loss"]) == 1
     assert np.isfinite(res.test_metrics["mpe"])
     assert res.predictions.shape[1:] == (17, 3)
 

@@ -120,7 +120,8 @@ def test_augmentation_path_runs(tiny_config, tiny_splits, tmp_path):
     cfg = dataclasses.replace(
         tiny_config,
         train=dataclasses.replace(tiny_config.train, num_epochs=2,
-                                  use_augmentation=True))
+                                  use_augmentation=True,
+                                  batch_size=64))
     res = train_pose_model(tiny_splits["train"], tiny_splits["val"],
                            tiny_splits["test"], cfg,
                            str(tmp_path / "aug"), verbose=False)

@@ -121,6 +121,7 @@ def main(argv=None) -> int:
     cfg = Config(
         train=TrainConfig(batch_size=args.batch_size, num_epochs=args.epochs,
                           patience=5, seed=args.seed,
+                          data_dtype="bfloat16",   # 360k fp32 would OOM
                           optim=OptimConfig(lr=args.lr, weight_decay=5e-5)),
         mesh=MeshConfig(num_devices=1), output_dir=args.output_dir)
 

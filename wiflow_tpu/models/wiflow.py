@@ -298,9 +298,13 @@ class AxialAttention(nn.Module):
         )
         c_out = self.out_planes
         count = n * length * length
+        # fused kernels only where they pay: the TRAIN step (22.6->8.3ms
+        # measured).  Eval keeps the XLA decomposition — its runtime cost
+        # is small and the kernels' Mosaic compile (~1-2 min per entry
+        # point) would tax every eval-only caller.
         use_fused = (self.train_impl == "fused" or (
             self.train_impl == "auto" and jax.default_backend() == "tpu")) \
-            and not self.is_initializing()
+            and train and not self.is_initializing()
 
         if use_fused:
             # fused Pallas path (custom-VJP kernels): logits never touch

@@ -80,6 +80,13 @@ def _stage(mesh, arrays: Tuple[np.ndarray, np.ndarray],
     x, y = arrays
     n = len(x)
     pad = (-n) % mesh.size
+    # already-on-device arrays (e.g. on-device synthetic data) with the
+    # right dtype need no copy on a 1-device mesh — a device_put would
+    # transiently double HBM (measured OOM at 360k windows)
+    if (pad == 0 and mesh.size == 1 and isinstance(x, jax.Array)
+            and isinstance(y, jax.Array) and x.dtype == data_dtype
+            and y.dtype == jnp.float32):
+        return x, y, n
     if pad:
         x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
         y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
