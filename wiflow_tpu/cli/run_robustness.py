@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=60)     # constant.py epoch
     p.add_argument("--lr", type=float, default=1e-3)     # main.py:67
+    p.add_argument("--optimizer", choices=("sgd", "adam"), default=None,
+                   help="default: adam for the DSKNetTrans trainers "
+                        "(att_mmfi.py:86), sgd otherwise (main.py:67)")
     p.add_argument("--patience", type=int, default=10 ** 6,
                    help="the reference runs fixed epochs; no early stop")
     p.add_argument("--seed", type=int, default=0)
@@ -209,12 +212,14 @@ def main(argv=None) -> int:
             }
             frozen = ("denoiser",)
 
+        opt_kind = args.optimizer or (
+            "adam" if args.model.startswith("dsknet") else "sgd")
         cfg = Config(
             train=TrainConfig(
                 batch_size=args.batch_size, num_epochs=args.epochs,
                 patience=args.patience, seed=args.seed,
                 scan_epochs=not args.no_scan,
-                optim=OptimConfig(lr=args.lr, kind="sgd",
+                optim=OptimConfig(lr=args.lr, kind=opt_kind,
                                   schedule="linear_decay",
                                   decay_start=20, decay_end=50)),
             mesh=MeshConfig(), output_dir=run_dir)
