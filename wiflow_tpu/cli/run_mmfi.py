@@ -127,8 +127,20 @@ def main(argv=None) -> int:
         val_xy = (val_xy[0], val_xy[1][..., :2])
         test_xy = (test_xy[0], test_xy[1][..., :2])
     elif args.model == "wpformer":
+        import jax.numpy as jnp
         from wiflow_tpu.models.baselines import wpformer_mmfi
         model = wpformer_mmfi()
+
+        def metafi_masked_mse(out, yb):
+            """Valid-keypoint-masked MSE (ref cross_dataset_test/WPformer/
+            metafi.py:750-753): only penalize keypoints whose GT exists."""
+            mask = (jnp.sum(jnp.abs(yb), axis=-1, keepdims=True)
+                    > 1e-5).astype(jnp.float32)
+            loss = jnp.mean((out.astype(jnp.float32) * mask
+                             - yb.astype(jnp.float32) * mask) ** 2)
+            return loss, {"position": loss,
+                          "bone": jnp.zeros((), jnp.float32)}
+        kwargs.update(loss_fn=metafi_masked_mse)
     elif args.model == "perunet":
         from wiflow_tpu.models.baselines import PerUnetMMFi
         model = PerUnetMMFi()
