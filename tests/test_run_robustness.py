@@ -1,0 +1,47 @@
+"""CLI-level tests for the HPE-Li robustness harness and the
+convergence demo's data generator."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_run_robustness_mode0_basic_cnn(tmp_path):
+    """Mode-0 end-to-end: synthetic MM-Fi tree -> train BasicCnnHPE ->
+    sweep JSON (ref HPE-Li/main.py modes; the cheapest zoo model keeps
+    the CPU compile small)."""
+    from wiflow_tpu.cli.run_robustness import main
+
+    root = str(tmp_path / "mmfi")
+    out = str(tmp_path / "out")
+    rc = main(["--model", "basic_cnn", "--mode", "0", "--epochs", "1",
+               "--batch_size", "8", "--dataset_root", root,
+               "--output_dir", out, "--synthetic", "--no_resume",
+               "--no_scan"])
+    assert rc == 0
+    path = os.path.join(out, "robustness_basic_cnn_mode0.json")
+    with open(path, "r", encoding="utf-8") as fd:
+        results = json.load(fd)
+    row = results["0.0"]
+    assert 0.0 <= row["test_pck20"] <= 1.0
+    assert np.isfinite(row["test_mpjpe"])
+    assert "0.0" in row["sweep"]
+
+
+def test_convergence_synth_windows_deterministic():
+    from wiflow_tpu.cli.convergence_demo import synth_windows
+
+    x1, y1 = synth_windows(64, seed=3, chunk=32)
+    x2, y2 = synth_windows(64, seed=3, chunk=32)
+    assert x1.shape == (64, 540, 20) and x1.dtype == jnp.bfloat16
+    assert y1.shape == (64, 15, 2) and y1.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(x1, np.float32),
+                                  np.asarray(x2, np.float32))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # splits with different seeds share the mixing map but differ in data
+    x3, _ = synth_windows(64, seed=4, chunk=32)
+    assert not np.allclose(np.asarray(x1, np.float32),
+                           np.asarray(x3, np.float32))
