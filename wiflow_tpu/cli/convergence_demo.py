@@ -100,6 +100,8 @@ def main(argv=None) -> int:
                    default="measured/convergence")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_videos", action="store_true")
+    p.add_argument("--use_augmentation", action="store_true",
+                   help="train.py:187-193 on-device augmentation policy")
     args = p.parse_args(argv)
 
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
@@ -121,6 +123,7 @@ def main(argv=None) -> int:
     cfg = Config(
         train=TrainConfig(batch_size=args.batch_size, num_epochs=args.epochs,
                           patience=5, seed=args.seed,
+                          use_augmentation=args.use_augmentation,
                           data_dtype="bfloat16",   # 360k fp32 would OOM
                           optim=OptimConfig(lr=args.lr, weight_decay=5e-5)),
         mesh=MeshConfig(num_devices=1), output_dir=args.output_dir)
