@@ -34,6 +34,17 @@ def load_reference_model_modules():
     return tcn, convnet, attention, pose_model
 
 
+def load_reference_augmentation():
+    """Import /root/reference/utils/augmentation.py as a standalone module
+    (bypassing the reference's package layout)."""
+    import importlib.util
+    path = os.path.join(REFERENCE_DIR, "utils", "augmentation.py")
+    spec = importlib.util.spec_from_file_location("ref_augmentation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_hpeli_zoo_modules():
     """Import the reference HPE-Li model package (stubbing torchvision,
     which is absent here and unused by the imported modules)."""

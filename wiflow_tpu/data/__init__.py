@@ -1,4 +1,4 @@
-from wiflow_tpu.data.augment import add_noise, augment_batch, random_scaling, time_masking
+from wiflow_tpu.data.augment import (add_noise, apply_mask_spans, augment_batch, random_scaling, subcarrier_masking, time_masking)
 from wiflow_tpu.data.dataset import CSIKeypointsDataset
 from wiflow_tpu.data.preprocess import (
     clean_single_frame_zeros, clean_zero_keypoints_temporal,
