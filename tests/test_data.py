@@ -114,3 +114,23 @@ def test_loso_split(dataset_dir):
     assert all(subjects[i] == 1 for i in test)
     assert all(subjects[i] != 1 for i in train + val)
     assert set(train + val + test) == set(range(len(subjects)))
+
+
+def test_preprocess_cli_entry(tmp_path):
+    """python -m wiflow_tpu.cli.preprocess wraps preprocess_csi_data
+    (the script the reference names at run.py:74 but never shipped)."""
+    from wiflow_tpu.cli.preprocess import main as preprocess_main
+    raw, out = tmp_path / "raw", tmp_path / "pre"
+    generate_raw_dataset(str(raw), num_files=2, frames_per_file=30,
+                         num_subcarriers=24, seed=3)
+    rc = preprocess_main(["--raw_dir", str(raw), "--output_dir", str(out),
+                          "--window_size", "10", "--stride", "2"])
+    assert rc == 0
+    import numpy as np_
+    win = np_.load(out / "csi_windows.npy")
+    cfg = np_.load(out / "config.npz")
+    assert win.shape[1:] == (24, 10)
+    assert int(cfg["window_size"]) == 10 and int(cfg["stride"]) == 2
+    for name in ("window_info.npz", "file_info.npz", "all_keypoints.npy",
+                 "file_mappings.pkl"):
+        assert (out / name).exists()
