@@ -11,8 +11,8 @@ ChannelTrans.py:24-291:
   conv decode -> AvgPool over width -> BN1d -> [B, 15, 2]
 
 The reference optionally warm-starts from ImageNet ResNet34 weights
-(model.py:302-328); the rebuild trains from scratch (the weights file is
-not shipped) but keeps the same trunk shape.  MM-Fi variant: 2 antenna-
+(model.py:302-328); the rebuild's ``resnet34_warm_start`` below maps a
+torchvision-format ResNet34 state_dict onto the trunk the same way.  MM-Fi variant: 2 antenna-
 pair streams of 114x10 CSI, ChannelTransformer img [17,12] ch 512 ->
 [B, 17, 3] (ref cross_dataset_test/WPformer/metafi.py:39-207).
 """
