@@ -65,3 +65,11 @@ def load_hpeli_zoo_modules():
     trans_mmfi = importlib.import_module("model.sknet_trans_mmfi")
     trans_wipose = importlib.import_module("model.sknet_trans_wipose")
     return (no_denoiser, wipose, basic, sknet_v2, trans_mmfi, trans_wipose)
+
+
+def load_denoiser_modules():
+    """Import the reference HPE_{one..five}_denoiser modules (ordered)."""
+    load_hpeli_zoo_modules()   # torchvision stub + sys.path setup
+    names = ("one", "two", "three", "four", "five")
+    return tuple(importlib.import_module(f"model.HPE_{n}_denoiser")
+                 for n in names)

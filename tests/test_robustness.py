@@ -140,7 +140,9 @@ def test_streaming_inference():
 
 
 def test_denoiser_hpe_composition():
-    """Frozen pretrained AE encoder + SK pose head (HPE-Li denoiser-HPE)."""
+    """Pretrained AE encoder + SK pose head (HPE-Li denoiser-HPE
+    composition; trained end-to-end like main.py:65-67, with optional
+    rebuild-only freezing via frozen_denoiser_labels)."""
     import optax
     from wiflow_tpu.robustness.denoiser import DenoiserHPE, frozen_denoiser_labels
 
@@ -170,8 +172,9 @@ def test_denoiser_hpe_composition():
 
 def test_engine_frozen_params_and_init_variables(tmp_path):
     """train_pose_model(init_variables=..., frozen_params=...) keeps the
-    pretrained subtree bit-identical through training (the reference's
-    frozen denoiser encoders, HPE-Li/model/HPE_five_denoiser.py)."""
+    pretrained subtree bit-identical through training.  (Rebuild-only
+    capability: the reference trains its denoiser-HPE compositions
+    end-to-end, main.py:65-67 — freezing here is an explicit opt-in.)"""
     import dataclasses
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
     from wiflow_tpu.models.baselines.hpeli_zoo import BasicCnnHPE
