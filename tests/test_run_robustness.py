@@ -45,3 +45,48 @@ def test_convergence_synth_windows_deterministic():
     x3, _ = synth_windows(64, seed=4, chunk=32)
     assert not np.allclose(np.asarray(x1, np.float32),
                            np.asarray(x3, np.float32))
+
+
+def test_run_robustness_mode2_filter_sweep(tmp_path):
+    """Mode-2 end-to-end: AWGN corruption + traditional filter cleanup
+    (ref HPE-Li/main.py:100-105, traditional_filter/) through the CLI;
+    the sweep must evaluate both the clean and the noisy level."""
+    from wiflow_tpu.cli.run_robustness import main
+
+    root = str(tmp_path / "mmfi")
+    out = str(tmp_path / "out")
+    rc = main(["--model", "basic_cnn", "--mode", "2", "--epochs", "1",
+               "--batch_size", "8", "--noise_levels", "0.2",
+               "--filter", "mean", "--dataset_root", root,
+               "--output_dir", out, "--synthetic", "--no_resume",
+               "--no_scan"])
+    assert rc == 0
+    path = os.path.join(out, "robustness_basic_cnn_mode2.json")
+    with open(path, "r", encoding="utf-8") as fd:
+        results = json.load(fd)
+    row = results["0.2"]
+    assert np.isfinite(row["test_mpjpe"])
+    assert set(row["sweep"]) == {"0.0", "0.2"}
+
+
+def test_run_robustness_mode1_denoiser_pipeline(tmp_path):
+    """Mode-1 end-to-end: greedy AE pre-training then END-TO-END
+    DenoiserHPE training (ref main.py:57-67 + denoiser_training.py)
+    through the CLI with a 1-stage encoder."""
+    from wiflow_tpu.cli.run_robustness import main
+
+    root = str(tmp_path / "mmfi")
+    out = str(tmp_path / "out")
+    rc = main(["--model", "denoiser_hpe", "--denoiser_stages", "1",
+               "--denoiser_epochs", "1", "--epochs", "1",
+               "--batch_size", "8", "--noise_levels", "0.1",
+               "--noise_kind", "salt_pepper", "--dataset_root", root,
+               "--output_dir", out, "--synthetic", "--no_resume",
+               "--no_scan", "--devices", "1"])
+    assert rc == 0
+    path = os.path.join(out, "robustness_denoiser_hpe_mode1.json")
+    with open(path, "r", encoding="utf-8") as fd:
+        results = json.load(fd)
+    row = results["0.1"]
+    assert np.isfinite(row["test_mpjpe"])
+    assert set(row["sweep"]) == {"0.0", "0.1"}

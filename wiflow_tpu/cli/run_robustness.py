@@ -6,17 +6,21 @@ att_wipose.py:340:
 
   mode 0  train + evaluate on clean CSI,
   mode 1  pre-train a stacked denoising AE per noise level
-          (denoiser_training.py), then train DenoiserHPE with the encoder
-          frozen (HPE_five_denoiser.py semantics),
+          (denoiser_training.py), then train DenoiserHPE END-TO-END —
+          the reference optimizes all metafi.parameters() (main.py:65-67;
+          no requires_grad=False exists anywhere in HPE-Li).  Pass
+          --freeze_denoiser to freeze the pretrained encoder instead
+          (a rebuild-only option),
   mode 2  corrupt CSI with AWGN and clean with a traditional filter
           (traditional_filter/{gaussian,mean}_filter.py).
 
 Reference training recipe kept: confidence-weighted MSE / 32 where the
 "confidence" is the keypoint z-channel (main.py:125-131 — a quirk: MM-Fi
-z-coordinates are used as confidences), SGD lr 1e-3 with linear LambdaLR
-decay from epoch 20 over 30 (main.py:67-76), best checkpoint by max
-overall PCK@20 (main.py:258-268), metrics via compute_pck_pckh (scale
-keypoints 1/11) + MPJPE/PA-MPJPE.
+z-coordinates are used as confidences), plain SGD lr 1e-3 (torch
+defaults: momentum 0, no gradient clipping — main.py:67) with linear
+LambdaLR decay from epoch 20 over 30 (main.py:68-76), best checkpoint by
+max overall PCK@20 (main.py:258-268), metrics via compute_pck_pckh
+(scale keypoints 1/11) + MPJPE/PA-MPJPE.
 
 Models: original_hpe (HPE_no_denoiser.py), dsknet_trans
 (sknet_trans_mmfi.py, att_mmfi.py:427), basic_cnn (HPE_basic_cnn.py),
@@ -85,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="gaussian")
     p.add_argument("--denoiser_stages", type=int, default=5)
     p.add_argument("--denoiser_epochs", type=int, default=5)
+    p.add_argument("--freeze_denoiser", action="store_true",
+                   help="freeze the pretrained AE encoder during mode-1 "
+                        "HPE training (rebuild-only; the reference trains "
+                        "end-to-end, main.py:65-67)")
     p.add_argument("--dataset_root", type=str, default="mmfi_data")
     p.add_argument("--wipose_root", type=str, default="wipose_data")
     p.add_argument("--config", type=str, default=None,
@@ -99,6 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=10 ** 6,
                    help="the reference runs fixed epochs; no early stop")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size (default: all devices)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--no_scan", action="store_true",
@@ -210,7 +220,9 @@ def main(argv=None) -> int:
                 "params": {"denoiser": ae_vars["params"]},
                 "batch_stats": {"denoiser": ae_vars["batch_stats"]},
             }
-            frozen = ("denoiser",)
+            # Reference trains the composition end-to-end (main.py:65-67);
+            # freezing the encoder is an explicit rebuild-only opt-in.
+            frozen = ("denoiser",) if args.freeze_denoiser else None
 
         opt_kind = args.optimizer or (
             "adam" if args.model.startswith("dsknet") else "sgd")
@@ -219,10 +231,13 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size, num_epochs=args.epochs,
                 patience=args.patience, seed=args.seed,
                 scan_epochs=not args.no_scan,
+                # torch.optim.SGD defaults at main.py:67: momentum 0, no
+                # gradient clipping (nothing clips anywhere in HPE-Li).
                 optim=OptimConfig(lr=args.lr, kind=opt_kind,
+                                  momentum=0.0, grad_clip_norm=None,
                                   schedule="linear_decay",
                                   decay_start=20, decay_end=50)),
-            mesh=MeshConfig(), output_dir=run_dir)
+            mesh=MeshConfig(num_devices=args.devices), output_dir=run_dir)
 
         model = build_model(args.model, args.denoiser_stages)
         result = train_pose_model(

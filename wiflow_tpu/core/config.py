@@ -82,6 +82,11 @@ class ModelConfig:
     # attention lowering in the flax module (train + module eval):
     # 'auto' = fused Pallas core on TPU, XLA decomposition elsewhere
     attention_module_impl: str = "auto"
+    # conv-stack lowering in the flax module: 'chunked' = space-to-depth
+    # banded matmuls (ops/chunked.py — no lane-tile padding, ~2x faster
+    # train step), 'taps' = plain [B,H,W,C] tap matmuls, 'auto' = chunked
+    # whenever the width schedule divides exactly (falls back to taps)
+    conv_stack_impl: str = "auto"
     use_attention: bool = True
     # compute dtype for the forward pass; params stay fp32
     compute_dtype: str = "bfloat16"
@@ -105,9 +110,11 @@ class OptimConfig:
     lr: float = 1e-4
     weight_decay: float = 5e-5              # train.py:108 hardcodes 5e-5
     betas: Tuple[float, float] = (0.9, 0.999)
-    grad_clip_norm: float = 1.0             # train.py:235
+    # None (or <=0) disables clipping — HPE-Li main.py:67 never clips
+    grad_clip_norm: Optional[float] = 1.0   # train.py:235
     # optimizer family: 'adamw' (trunk), 'adam' (WiSPPN/PerUnet),
-    # 'sgd' (WPformer, momentum 0.9 — model.py:930-935)
+    # 'sgd' (WPformer, momentum 0.9 — model.py:930-935; HPE-Li main.py:67
+    # uses torch SGD defaults: momentum 0)
     kind: str = "adamw"
     momentum: float = 0.9
     # schedule: 'plateau' (trunk), 'linear_decay' (WPformer LambdaLR),
@@ -136,6 +143,12 @@ class TrainConfig:
     # val/test loaders use batch//2 and drop_last (ref: train.py:145,155-161,
     # 402-408) — mirrored because it affects reported metrics (SURVEY §8.8).
     drop_last_eval: bool = True
+    # PRNG for the training key stream (dropout masks, shuffles,
+    # augmentation): 'rbg' uses the TPU hardware generator — threefry
+    # dropout masks alone measured 1.7 ms of the 10.6 ms step at batch
+    # 256.  Same-seed runs are deterministic per impl; distributions are
+    # identical.  Set 'threefry2x32' to reproduce pre-round-3 streams.
+    rng_impl: str = "rbg"
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     # HBM storage dtype for the staged CSI (labels stay fp32); bf16 fits

@@ -30,12 +30,15 @@ def make_optimizer(cfg: OptimConfig,
                    frozen_subtrees: Optional[Tuple[str, ...]] = None
                    ) -> optax.GradientTransformation:
     """Optimizer per config: AdamW (trunk, train.py:105-110), plain Adam
-    (WiSPPN, wisppn.py:953) or SGD+momentum (WPformer, model.py:930-935).
+    (WiSPPN, wisppn.py:953) or SGD (WPformer model.py:930-935 momentum .9;
+    HPE-Li main.py:67 plain SGD — set ``cfg.momentum=0`` /
+    ``cfg.grad_clip_norm=None`` for that recipe).
 
     ``frozen_subtrees``: top-level param-dict keys whose updates are
-    zeroed — the TPU equivalent of the reference's frozen denoiser
-    encoders (ref HPE-Li/model/HPE_five_denoiser.py: requires_grad=False
-    on the pretrained AE stack).
+    zeroed — an *opt-in* capability of this rebuild (the reference trains
+    its denoiser-HPE compositions end-to-end; no ``requires_grad=False``
+    exists in HPE-Li).  The zero-mask is applied BEFORE global-norm
+    clipping so frozen subtrees don't inflate the clipping norm.
     """
     if cfg.kind == "adamw":
         inner = optax.inject_hyperparams(optax.adamw)(
@@ -49,7 +52,7 @@ def make_optimizer(cfg: OptimConfig,
             learning_rate=cfg.lr, momentum=cfg.momentum)
     else:
         raise ValueError(f"unknown optimizer kind {cfg.kind!r}")
-    parts = [optax.clip_by_global_norm(cfg.grad_clip_norm), inner]
+    parts = []
     if frozen_subtrees:
         frozen = tuple(frozen_subtrees)
 
@@ -57,6 +60,9 @@ def make_optimizer(cfg: OptimConfig,
             return {k: jax.tree.map(lambda _: k in frozen, v)
                     for k, v in updates.items()}
         parts.append(optax.masked(optax.set_to_zero(), mask))
+    if cfg.grad_clip_norm is not None and cfg.grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    parts.append(inner)
     return optax.chain(*parts)
 
 
