@@ -71,6 +71,7 @@ def test_perunet_shapes_and_params():
     assert 200e6 < n < 400e6, n
 
 
+@pytest.mark.slow
 def test_wpformer_shapes_and_params():
     model = WPformer(compute_dtype="float32")
     x = jnp.zeros((1, 540, 20))
@@ -126,6 +127,7 @@ def test_extract_keypoints_matches_torch_loop():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_hpeli_smoke_training(tmp_path):
     """2-epoch keypoint-label baseline training via the shared engine."""
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
@@ -149,6 +151,7 @@ def test_hpeli_smoke_training(tmp_path):
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
 
 
+@pytest.mark.slow
 def test_pam_smoke_training(tmp_path):
     """2-epoch PAM-label baseline (WiSPPN, small) via the shared engine."""
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
@@ -262,6 +265,7 @@ def test_resnet34_warm_start_block_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_resnet34_warm_start_merges_into_wpformer():
     from wiflow_tpu.models.baselines.wpformer import (
         WPformer, merge_warm_start, resnet34_warm_start,

@@ -59,6 +59,7 @@ def test_fused_attention_v2_matches_module():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_attention_dual_matches_v2():
     """Single-kernel dual attention == chained v2 kernels (interpret)."""
     from wiflow_tpu.ops.pallas.axial_attention import (
@@ -77,6 +78,7 @@ def test_fused_attention_dual_matches_v2():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fast_forward_matches_module():
     # batch 2: interpret-mode kernel time scales with rows on 1 CPU core
     model = WiFlowPoseModel(CFG)

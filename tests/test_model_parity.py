@@ -49,6 +49,7 @@ def test_eval_forward_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_forward_and_batchstats_parity():
     """Train mode with dropout off: outputs + BN running stats must match."""
     tmodel, jmodel, variables = _build_pair()

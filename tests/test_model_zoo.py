@@ -124,7 +124,8 @@ def test_wiflow_ablation_variants():
     for variant in (base,
                     dataclasses.replace(base, tcn_conv="plain"),
                     dataclasses.replace(base, tcn_conv="depthwise"),
-                    dataclasses.replace(base, use_attention=False)):
+                    dataclasses.replace(base, use_attention=False),
+                    dataclasses.replace(base, encoder_kind="conv2d")):
         model = WiFlowPoseModel(variant)
         v = model.init({"params": jax.random.key(0)}, x, train=False)
         out = model.apply(v, x, train=False)

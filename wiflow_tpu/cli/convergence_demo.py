@@ -29,12 +29,18 @@ import time
 
 def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
                   window: int = 20, keypoints: int = 15,
-                  chunk: int = 15_000, mix_seed: int = 7):
+                  chunk: int = 15_000, mix_seed: int = 7,
+                  subject: int = 0):
     """On-device [n, 540, 20] CSI windows + [n, 15, 2] last-frame poses.
 
     Mirrors data/synthetic.py's generative structure: per-window smooth
     pose trajectories (sums of random sinusoids), velocity features, one
     global mixing map into subcarrier space, additive noise.
+
+    ``subject`` (1..5, 0 = generic) gives each subject a distinct style —
+    shifted movement amplitude/frequency distributions and a CSI gain —
+    over the SAME shared CSI<->pose physics, so LOSO folds (Setting 2,
+    ref README.md:122-188) see genuine cross-subject distribution shift.
     """
     import functools
 
@@ -42,10 +48,15 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
     import jax.numpy as jnp
 
     k2 = keypoints * 2
-    # the CSI<->pose mapping must be IDENTICAL across splits (train and
-    # val/test share one world); only the trajectories vary with ``seed``
+    # the CSI<->pose mapping must be IDENTICAL across splits and subjects
+    # (everyone moves in the same radio world); only trajectories vary
     kmix = jax.random.key(mix_seed)
     mix = jax.random.normal(kmix, (2 * k2, num_subcarriers), jnp.float32)
+    s = subject
+    amp_scale = 0.08 * (1.0 + 0.25 * ((s % 3) - 1)) if s else 0.08
+    freq_lo = 0.05 + (0.03 * (s - 1) if s else 0.0)
+    freq_hi = 0.4 + (0.06 * ((s % 2) * 2 - 1) if s else 0.0)
+    csi_gain = 1.0 + (0.06 * (s - 3) if s else 0.0)
 
     @jax.jit
     def gen_chunk(key):
@@ -53,14 +64,15 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
         m = chunk
         t = jnp.arange(window, dtype=jnp.float32)[None, :, None]
         base = 0.2 * jax.random.normal(k1, (m, 1, k2))
-        amp = 0.08 * jax.random.normal(k2_, (m, 1, k2))
-        freq = jax.random.uniform(k3, (m, 1, k2), minval=0.05, maxval=0.4)
+        amp = amp_scale * jax.random.normal(k2_, (m, 1, k2))
+        freq = jax.random.uniform(k3, (m, 1, k2), minval=freq_lo,
+                                  maxval=freq_hi)
         phase = jax.random.uniform(k4, (m, 1, k2), minval=0.0,
                                    maxval=2 * jnp.pi)
         kp = base + amp * jnp.sin(freq * t + phase)        # [m, T, 30]
         vel = jnp.diff(kp, axis=1, prepend=kp[:, :1])
         feats = jnp.concatenate([kp, 5.0 * vel], axis=-1)  # [m, T, 60]
-        csi = jnp.einsum("mtf,fc->mtc", feats, mix) \
+        csi = csi_gain * jnp.einsum("mtf,fc->mtc", feats, mix) \
             + 0.05 * jax.random.normal(k5, (m, window, num_subcarriers)) \
             + 1.0
         x = jnp.transpose(csi, (0, 2, 1)).astype(jnp.bfloat16)
@@ -102,6 +114,10 @@ def main(argv=None) -> int:
     p.add_argument("--no_videos", action="store_true")
     p.add_argument("--use_augmentation", action="store_true",
                    help="train.py:187-193 on-device augmentation policy")
+    p.add_argument("--patience", type=int, default=5)   # train.py:382
+    p.add_argument("--resume", action="store_true",
+                   help="continue from latest_checkpoint.pkl in "
+                        "--output_dir (kill/resume demos)")
     args = p.parse_args(argv)
 
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
@@ -122,7 +138,7 @@ def main(argv=None) -> int:
 
     cfg = Config(
         train=TrainConfig(batch_size=args.batch_size, num_epochs=args.epochs,
-                          patience=5, seed=args.seed,
+                          patience=args.patience, seed=args.seed,
                           use_augmentation=args.use_augmentation,
                           data_dtype="bfloat16",   # 360k fp32 would OOM
                           optim=OptimConfig(lr=args.lr, weight_decay=5e-5)),
@@ -130,7 +146,7 @@ def main(argv=None) -> int:
 
     t1 = time.time()
     result = train_pose_model(train, val, test, cfg, args.output_dir,
-                              resume=False)
+                              resume=args.resume)
     train_sec = time.time() - t1
     paths = write_all_artifacts(result, args.output_dir,
                                 make_videos=not args.no_videos)

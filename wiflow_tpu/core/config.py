@@ -74,19 +74,30 @@ class ModelConfig:
     # ablation switches (ref README.md:240-248): TCN conv flavour and
     # the axial-attention stage
     tcn_conv: str = "grouped"               # 'grouped'|'plain'|'depthwise'
-    # MXU lowering of the grouped convs: 'block_diag' runs them as dense
-    # matmuls over block-diagonal weights (same math, ~1.8x faster TCN on
-    # v5e; applies to the training forward too).  'grouped' keeps the
-    # per-group einsum (useful on CPU where the dense form is pure waste).
-    tcn_matmul: str = "block_diag"
+    # encoder ablation (README.md:246 'TCN + asym conv -> 2D res conv',
+    # code-less upstream): 'wiflow' = TCN + asymmetric (1,3) blocks;
+    # 'conv2d' = pointwise projection + plain symmetric 3x3 2-D residual
+    # blocks with the same stride schedule
+    encoder_kind: str = "wiflow"
+    # MXU lowering of the grouped convs in the MODULE (train + module
+    # eval).  Measured fwd+bwd at batch 256 on v5e: 'grouped' per-group
+    # einsum 1.56 ms/step, 'block_diag_sg5' (dense within 5-group
+    # super-blocks) 1.69, fully dense 'block_diag' 2.29 — the dense
+    # form's 20x FLOP padding loses in the train path even though it
+    # wins inside the BN-folded serving kernels (which keep their own
+    # block-diagonal packing, ops/pallas/tcn_level.py).
+    tcn_matmul: str = "grouped"
     # attention lowering in the flax module (train + module eval):
     # 'auto' = fused Pallas core on TPU, XLA decomposition elsewhere
     attention_module_impl: str = "auto"
-    # conv-stack lowering in the flax module: 'chunked' = space-to-depth
-    # banded matmuls (ops/chunked.py — no lane-tile padding, ~2x faster
-    # train step), 'taps' = plain [B,H,W,C] tap matmuls, 'auto' = chunked
-    # whenever the width schedule divides exactly (falls back to taps)
-    conv_stack_impl: str = "auto"
+    # conv-stack lowering in the flax module: 'taps' = plain [B,H,W,C]
+    # tap matmuls (default — measured 3.2 ms/step fwd+bwd at batch 256 on
+    # v5e), 'chunked' = space-to-depth banded matmuls (ops/chunked.py;
+    # numerically identical and fully tested, but the banded form's 8x
+    # FLOP padding made it 4.3 ms/step — XLA handles the taps layout
+    # better than its tile geometry suggests at this batch), 'auto' =
+    # chunked when the width schedule tiles exactly, else taps
+    conv_stack_impl: str = "taps"
     use_attention: bool = True
     # compute dtype for the forward pass; params stay fp32
     compute_dtype: str = "bfloat16"

@@ -19,7 +19,7 @@ tests/test_model_parity.py against the reference torch modules.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ class TCNLevel(nn.Module):
     # 'plain' (regular conv1d, groups=1), 'depthwise' (groups=channels)
     conv_kind: str = "grouped"
     # MXU lowering: 'grouped' per-group einsum or 'block_diag' dense matmul
-    matmul_impl: str = "block_diag"
+    matmul_impl: str = "grouped"
 
     def _groups(self, channels: int) -> int:
         if self.conv_kind == "plain":
@@ -136,7 +136,7 @@ class TCNStack(nn.Module):
     groups: int
     dropout: float
     conv_kind: str = "grouped"
-    matmul_impl: str = "block_diag"
+    matmul_impl: str = "grouped"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -152,6 +152,27 @@ class TCNStack(nn.Module):
         return x
 
 
+class ChunkedDropout2d(nn.Module):
+    """torch ``nn.Dropout2d`` on the chunked ``[B, H, n, C, S]`` view.
+
+    Draws the SAME mask bits as ops/norm.dropout2d under the same rng
+    path (bernoulli over b*c values), so the chunked and taps conv-stack
+    paths are dropout-identical per seed."""
+
+    rate: float
+    channels: int
+
+    @nn.compact
+    def __call__(self, x5: jax.Array, *, train: bool) -> jax.Array:
+        if not train or self.rate <= 0.0:
+            return x5
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep,
+            (x5.shape[0], 1, 1, self.channels, 1))
+        return jnp.where(mask, x5 / keep, 0.0).astype(x5.dtype)
+
+
 class ConvBlock(nn.Module):
     """(1,3) residual conv block over the subcarrier axis.
 
@@ -159,15 +180,24 @@ class ConvBlock(nn.Module):
     (ref: models/convnet.py:4-38); ``stride_w=1`` gives ``ConvBlock1``
     (convnet.py:41-74).  Three (1,3) convs with BN/SiLU/Dropout2d plus a
     strided 1x1+BN shortcut.
+
+    Two numerically-equivalent lowerings share one parameter tree:
+
+      * ``plan=None`` (default): tap-matmuls on ``[B, H, W, C]`` — but a
+        1-64-channel minor dim pads the TPU lane axis up to 16x;
+      * ``plan=(s_in, s_out, cs, n_in, n_out)``: the space-to-depth
+        chunked layout of ops/chunked.py on ``[B, H, n, C*S]`` inputs —
+        banded-matmul convs, no tile padding, autodiff-friendly (the
+        train-path analog of ops/pallas/conv_stack.py).
     """
 
     n_in: int
     n_out: int
     stride_w: int = 1
     dropout: float = 0.3   # torch-module default; pose_model.py never overrides
+    plan: Optional[Tuple[int, int, int, int, int]] = None
 
-    @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def _params(self):
         def conv_params(idx: int, ci: int, co: int):
             fan_in = ci * 3
             w = self.param(f"conv{idx}_weight", torch_conv_default(fan_in),
@@ -180,6 +210,13 @@ class ConvBlock(nn.Module):
         w3, b3 = conv_params(3, self.n_out, self.n_out)
         wd = self.param("downsample_weight",
                         torch_conv_default(self.n_in), (self.n_in, self.n_out))
+        return w1, b1, w2, b2, w3, b3, wd
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        w1, b1, w2, b2, w3, b3, wd = self._params()
+        if self.plan is not None:
+            return self._chunked(x, (w1, b1, w2, b2, w3, b3, wd), train)
 
         identity = conv1x1_2d(x, wd, stride_w=self.stride_w)
         identity = TorchBatchNorm(self.n_out, name="downsample_bn")(
@@ -199,6 +236,46 @@ class ConvBlock(nn.Module):
         out = TorchBatchNorm(self.n_out, name="bn3")(out, train=train)
 
         return silu(out + identity)
+
+    def _chunked(self, x: jax.Array, params, train: bool) -> jax.Array:
+        from wiflow_tpu.ops.chunked import chunked_conv
+
+        w1, b1, w2, b2, w3, b3, wd = params
+        s_in, s_out, cs, n_in, n_out = self.plan
+        co = self.n_out
+        b, h = x.shape[:2]
+
+        def view5(y):
+            return y.reshape(b, h, n_out, co, s_out)
+
+        def flat(y5):
+            return y5.reshape(b, h, n_out, co * s_out)
+
+        identity = chunked_conv(x, wd, None, k=1, stride=self.stride_w,
+                                s_in=s_in, s_out=s_out, cs=cs, n_out=n_out)
+        id5 = TorchBatchNorm(co, channel_axis=3, name="downsample_bn")(
+            view5(identity), train=train)
+
+        out = chunked_conv(x, w1, b1, k=3, stride=self.stride_w,
+                           s_in=s_in, s_out=s_out, cs=cs, n_out=n_out)
+        o5 = TorchBatchNorm(co, channel_axis=3, name="bn1")(view5(out),
+                                                            train=train)
+        o5 = ChunkedDropout2d(self.dropout, co, name="drop1")(silu(o5),
+                                                              train=train)
+
+        out = chunked_conv(flat(o5), w2, b2, k=3, stride=1, s_in=s_out,
+                           s_out=s_out, cs=1, n_out=n_out)
+        o5 = TorchBatchNorm(co, channel_axis=3, name="bn2")(view5(out),
+                                                            train=train)
+        o5 = ChunkedDropout2d(self.dropout, co, name="drop2")(silu(o5),
+                                                              train=train)
+
+        out = chunked_conv(flat(o5), w3, b3, k=3, stride=1, s_in=s_out,
+                           s_out=s_out, cs=1, n_out=n_out)
+        o5 = TorchBatchNorm(co, channel_axis=3, name="bn3")(view5(out),
+                                                            train=train)
+
+        return flat(silu(o5 + id5))
 
 
 class LogitsBNScale(nn.Module):
@@ -375,10 +452,98 @@ class DualAxialAttention(nn.Module):
         return x
 
 
+class Conv2dResEncoder(nn.Module):
+    """Ablation encoder: 'TCN + asym conv -> 2D res conv' (README.md:246).
+
+    The reference publishes the result row only (83.55/95.69 PCK@10/20)
+    with no code, so the design is ours: a pointwise projection
+    540 -> tcn_channels[-1] replaces the temporal TCN, then plain
+    symmetric 3x3 2-D residual blocks (both spatial axes, stride (1, 2))
+    with the WiFlow channel/stride schedule produce the same
+    [B, 20, 15, C_last] feature map the trunk hands to attention.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        cfg = self.cfg
+        w0 = cfg.tcn_channels[-1]
+        wp = self.param("proj_weight", kaiming_normal_fan_out(w0),
+                        (cfg.num_subcarriers, w0))
+        x = pointwise_conv1d(x, wp)             # [B, T, 240]
+        x = TorchBatchNorm(w0, name="proj_bn")(x, train=train)
+        x = silu(x)[..., None]                  # [B, T, 240, 1]
+
+        n_in = 1
+        chans = (cfg.conv_channels[0],) + tuple(cfg.conv_channels)
+        strides = (1,) + (2,) * len(cfg.conv_channels)
+        for j, (n_out, st) in enumerate(zip(chans, strides)):
+            wa = self.param(f"block{j}_conv1_weight",
+                            torch_conv_default(n_in * 9), (3, 3, n_in, n_out))
+            ba = self.param(f"block{j}_conv1_bias",
+                            torch_bias_default(n_in * 9), (n_out,))
+            wb = self.param(f"block{j}_conv2_weight",
+                            torch_conv_default(n_out * 9),
+                            (3, 3, n_out, n_out))
+            bb = self.param(f"block{j}_conv2_bias",
+                            torch_bias_default(n_out * 9), (n_out,))
+            wd = self.param(f"block{j}_down_weight",
+                            torch_conv_default(n_in), (n_in, n_out))
+            identity = conv1x1_2d(x, wd, stride_w=st)
+            identity = TorchBatchNorm(n_out, name=f"block{j}_down_bn")(
+                identity, train=train)
+            y = jax.lax.conv_general_dilated(
+                x, wa.astype(x.dtype), window_strides=(1, st),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + ba
+            y = TorchBatchNorm(n_out, name=f"block{j}_bn1")(y, train=train)
+            y = silu(y.astype(x.dtype))
+            y = conv3x3_2d(y, wb, bb)
+            y = TorchBatchNorm(n_out, name=f"block{j}_bn2")(y, train=train)
+            x = silu(y + identity)
+            n_in = n_out
+        return x                                # [B, 20, 15, C_last]
+
+
 class WiFlowPoseModel(nn.Module):
     """Full WiFlow encoder-decoder (ref: models/pose_model.py:9-97)."""
 
     config: ModelConfig = ModelConfig()
+
+    @staticmethod
+    def _chunk_plans(cfg: ModelConfig):
+        """Chunk plans for the conv stack, or None for the taps path.
+
+        'auto' falls back to taps whenever the chunk schedule can't tile
+        the width chain exactly (odd widths, non-multiple-of-8 input) —
+        the taps path handles any shape."""
+        if cfg.conv_stack_impl == "taps":
+            return None
+        from wiflow_tpu.ops.chunked import plan_for
+        w0 = cfg.tcn_channels[-1]
+        try:
+            plans = plan_for(cfg.conv_channels, w0=w0)
+        except AssertionError:
+            if cfg.conv_stack_impl == "chunked":
+                raise
+            return None
+        w = w0
+        ok = True
+        for p in plans:
+            ok &= p["s_in"] * p["n_in"] == w
+            # taps stride-2 width: (W + 2*1 - 3)//2 + 1 == (W+1)//2
+            w = (w + 1) // 2 if p["stride"] == 2 else w
+            ok &= p["s_out"] * p["n_out"] == w
+        ok &= plans[-1]["s_out"] == 1
+        if not ok:
+            if cfg.conv_stack_impl == "chunked":
+                raise ValueError(
+                    f"conv_stack_impl='chunked' cannot tile w0={w0} with "
+                    f"conv_channels={tuple(cfg.conv_channels)}")
+            return None
+        return tuple((p["s_in"], p["s_out"], p["cs"], p["n_in"], p["n_out"])
+                     for p in plans)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -403,28 +568,49 @@ class WiFlowPoseModel(nn.Module):
 
         # [B, 540, 20] -> channel-last [B, T=20, C=540]
         x = jnp.transpose(x, (0, 2, 1))
-        x = TCNStack(
-            num_inputs=cfg.num_subcarriers,
-            num_channels=tuple(cfg.tcn_channels),
-            kernel_size=cfg.tcn_kernel_size,
-            groups=cfg.tcn_groups,
-            dropout=cfg.dropout,
-            conv_kind=cfg.tcn_conv,
-            matmul_impl=cfg.tcn_matmul,
-            name="tcn",
-        )(x, train=train)                       # [B, 20, 240]
+        if cfg.encoder_kind == "conv2d":
+            # ablation 'TCN + asym conv -> 2D res conv' (README.md:246;
+            # the reference publishes the row but ships no code): a
+            # pointwise projection stands in for the TCN, then plain
+            # symmetric 3x3 residual blocks with the same stride schedule
+            x = Conv2dResEncoder(cfg, name="encoder2d")(x, train=train)
+        else:
+            x = TCNStack(
+                num_inputs=cfg.num_subcarriers,
+                num_channels=tuple(cfg.tcn_channels),
+                kernel_size=cfg.tcn_kernel_size,
+                groups=cfg.tcn_groups,
+                dropout=cfg.dropout,
+                conv_kind=cfg.tcn_conv,
+                matmul_impl=cfg.tcn_matmul,
+                name="tcn",
+            )(x, train=train)                   # [B, 20, 240]
 
-        # 2-D map: H = time (20), W = TCN features (240), C = 1
-        # (ref: pose_model.py:79 builds [B, 1, 20, 240])
-        x = x[..., None]                        # [B, 20, 240, 1]
+            # 2-D map: H = time (20), W = TCN features (240), C = 1
+            # (ref: pose_model.py:79 builds [B, 1, 20, 240])
+            plans = self._chunk_plans(cfg)
+            if plans is not None:
+                from wiflow_tpu.ops.chunked import to_chunked
+                # chunked layout: [B, 20, n0, S0] (C=1, minor=w_in_chunk)
+                x = to_chunked(x, plans[0][0])
+            else:
+                x = x[..., None]                # [B, 20, 240, 1]
 
-        x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
-                      dropout=cfg.conv_dropout, name="up")(x, train=train)
-        n_in = cfg.conv_channels[0]
-        for j, n_out in enumerate(cfg.conv_channels):
-            x = ConvBlock(n_in, n_out, stride_w=2, dropout=cfg.conv_dropout,
-                          name=f"residual_blocks_{j}")(x, train=train)
-            n_in = n_out
+            def plan_of(i):
+                return None if plans is None else plans[i]
+
+            x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
+                          dropout=cfg.conv_dropout, plan=plan_of(0),
+                          name="up")(x, train=train)
+            n_in = cfg.conv_channels[0]
+            for j, n_out in enumerate(cfg.conv_channels):
+                x = ConvBlock(n_in, n_out, stride_w=2,
+                              dropout=cfg.conv_dropout, plan=plan_of(j + 1),
+                              name=f"residual_blocks_{j}")(x, train=train)
+                n_in = n_out
+            if plans is not None:
+                # last plan ends at S=1 -> already plain [B, 20, 15, C]
+                assert plans[-1][1] == 1, plans[-1]
         # [B, 20, 15, 64] -> [B, H=15, W=20, C=64]  (ref: pose_model.py:87)
         x = jnp.transpose(x, (0, 2, 1, 3))
 

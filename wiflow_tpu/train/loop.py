@@ -183,7 +183,7 @@ def train_pose_model(
                       f"(best val MPE {stopper.best:.4f} @ epoch "
                       f"{stopper.best_epoch + 1})")
 
-    base_key = jax.random.key(tc.seed)
+    base_key = jax.random.key(tc.seed, impl=tc.rng_impl)
     val_idx = make_batch_indices(n_val, eval_batch)
     test_idx = make_batch_indices(n_test, eval_batch)
 
