@@ -30,7 +30,8 @@ def x():
 
 
 def test_plan_matches_default_geometry():
-    plans = WiFlowPoseModel._chunk_plans(ModelConfig())
+    plans = WiFlowPoseModel._chunk_plans(
+        ModelConfig(conv_stack_impl="chunked"))
     assert plans is not None and plans[-1][1] == 1
     # widths 240 -> 120 -> 60 -> 30 -> 15
     assert [p[1] * p[4] for p in plans] == [240, 120, 60, 30, 15]

@@ -144,3 +144,38 @@ def test_batch_norm_eval_matches_torch():
         jnp.asarray(bn.bias.detach().numpy()))
     np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_super_block_diagonal_grouped_conv_equivalence():
+    """block_diag_sg<m> == grouped == block_diag for the TCN conv."""
+    from wiflow_tpu.ops.conv import causal_grouped_conv1d
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 20, 20, 27)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 20, 27, 27)).astype(np.float32))
+    ref = causal_grouped_conv1d(x, w, dilation=4, impl="grouped")
+    for impl in ("block_diag", "block_diag_sg5", "block_diag_sg4",
+                 "block_diag_sg3"):   # sg3 doesn't divide 20 -> falls back
+        got = causal_grouped_conv1d(x, w, dilation=4, impl=impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=impl)
+
+
+def test_expand_banded_matches_gather_expansion():
+    """The gather-free banded-weight expansion (ops/chunked.py) equals
+    the serving kernels' conv_stack._expand for every geometry the plan
+    uses."""
+    from wiflow_tpu.ops.chunked import _expand, expand_banded
+
+    rng = np.random.default_rng(12)
+    cases = [(3, 1, 8, 8, 1, 8), (3, 2, 8, 8, 8, 8), (3, 2, 8, 4, 8, 16),
+             (3, 1, 4, 4, 16, 32), (3, 1, 2, 2, 32, 64),
+             (1, 2, 8, 8, 8, 8), (1, 2, 8, 4, 8, 16), (1, 1, 8, 8, 1, 8)]
+    for (k, stride, s_in, s_out, ci, co) in cases:
+        shape = (3, ci, co) if k == 3 else (ci, co)
+        w = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+        w1, b1 = _expand(w, b, k, stride, s_in, s_out)
+        w2, b2 = expand_banded(w, b, k, stride, s_in, s_out)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
