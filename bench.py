@@ -156,6 +156,8 @@ def train_epoch_seconds() -> float:
 
 
 def main() -> None:
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     wps = serving_windows_per_sec()
     record = {
         "metric": "csi_windows_per_sec_per_chip",

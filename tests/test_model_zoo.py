@@ -137,3 +137,33 @@ def test_wiflow_ablation_variants():
     m_noatt = WiFlowPoseModel(dataclasses.replace(base, use_attention=False))
     v = m_noatt.init({"params": jax.random.key(0)}, x, train=False)
     assert sum(np.size(p) for p in jax.tree.leaves(v["params"])) < base_params
+
+
+def test_conv2d_encoder_trains_and_checkpoints(tmp_path):
+    """The encoder_kind='conv2d' ablation survives a full engine round —
+    including best-model saving, which must skip the torch .pth export
+    (no reference architecture analog)."""
+    import dataclasses
+    import os
+    from wiflow_tpu.core.config import Config, MeshConfig, ModelConfig, TrainConfig
+    from wiflow_tpu.train.loop import train_pose_model
+
+    model_cfg = ModelConfig(num_subcarriers=40, window_size=20,
+                            tcn_channels=(40, 60), tcn_groups=4,
+                            conv_channels=(4, 8), attention_groups=2,
+                            dropout=0.0, conv_dropout=0.0,
+                            encoder_kind="conv2d", compute_dtype="float32")
+    rng = np.random.default_rng(3)
+    def mk(n):
+        return (rng.standard_normal((n, 40, 20)).astype(np.float32),
+                rng.standard_normal((n, 15, 2)).astype(np.float32) * 0.1)
+    cfg = Config(model=model_cfg,
+                 train=TrainConfig(batch_size=8, num_epochs=1,
+                                   scan_epochs=False),
+                 mesh=MeshConfig(num_devices=1))
+    res = train_pose_model(mk(16), mk(8), mk(8), cfg,
+                           str(tmp_path / "c2d"), resume=False,
+                           verbose=False)
+    assert np.isfinite(res.history["train_loss"][0])
+    assert os.path.exists(tmp_path / "c2d" / "best_pose_model.msgpack")
+    assert not os.path.exists(tmp_path / "c2d" / "best_pose_model.pth")

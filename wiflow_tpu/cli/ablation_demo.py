@@ -42,6 +42,8 @@ def main(argv=None) -> int:
     p.add_argument("--output_dir", type=str, default="measured/ablations")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     import jax
 

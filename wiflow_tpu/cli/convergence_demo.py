@@ -119,6 +119,8 @@ def main(argv=None) -> int:
                    help="continue from latest_checkpoint.pkl in "
                         "--output_dir (kill/resume demos)")
     args = p.parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
     from wiflow_tpu.eval.artifacts import write_all_artifacts

@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     set_seed(args.seed)
 
     import jax

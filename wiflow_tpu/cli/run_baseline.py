@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     spec = BASELINE_SPECS[args.model]
 
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig

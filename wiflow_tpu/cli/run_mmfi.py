@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     from wiflow_tpu.core.config import (
         Config, MMFI_SKELETON_CONNECTIONS, MeshConfig, OptimConfig,

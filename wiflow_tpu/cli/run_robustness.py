@@ -160,6 +160,8 @@ def _load_wipose(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     if args.model == "denoiser_hpe":
         args.mode = 1
 

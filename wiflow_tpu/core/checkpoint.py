@@ -60,6 +60,10 @@ def save_best_model(output_dir: str, variables: Dict[str, Any],
             torch.save(sd, os.path.join(output_dir, f"{stem}.pth"))
         except ImportError:
             pass
+        except KeyError:
+            # param tree doesn't match the reference architecture (e.g.
+            # the encoder_kind='conv2d' ablation) — no torch analog exists
+            pass
 
 
 def load_best_model(path: str) -> Dict[str, Any]:

@@ -244,9 +244,12 @@ def train_pose_model(
 
         if stopper.update(monitored, epoch):
             best_variables = jax.device_get(variables)
+            # .pth export only for the reference architecture (the torch
+            # spec has no analog for e.g. the conv2d-encoder ablation)
+            exportable = (isinstance(model, WiFlowPoseModel)
+                          and cfg.model.encoder_kind == "wiflow")
             save_best_model(output_dir, best_variables,
-                            cfg.model if isinstance(model, WiFlowPoseModel)
-                            else None)
+                            cfg.model if exportable else None)
             if verbose:
                 print(f"  [best] val {monitor} {monitored:.4f} -> saved "
                       f"best_pose_model.*")
