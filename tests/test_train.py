@@ -103,6 +103,10 @@ def test_resume_continues_from_checkpoint(tiny_config, tiny_splits, tmp_path):
     assert res2.epochs_run == 4
     assert len(res2.history["train_loss"]) == 4
     assert res2.history["train_loss"][:2] == res1.history["train_loss"]
+    # resumed history entries stay plain (hashable) python floats — the
+    # checkpoint round-trip must not wrap them into 0-d ndarrays
+    assert all(type(v) is float for v in res2.history["lr"])
+    sorted(set(res2.history["lr"]))   # would raise on ndarray entries
 
 
 def test_grad_accumulation_runs(tiny_config, tiny_splits, tmp_path):

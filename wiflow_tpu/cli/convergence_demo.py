@@ -163,8 +163,9 @@ def main(argv=None) -> int:
         "data_gen_sec": round(gen_sec, 1),
         "test_metrics": {k: round(float(v), 6)
                          for k, v in result.test_metrics.items()},
-        "final_lr": result.history["lr"][-1],
-        "lr_reductions": sorted(set(result.history["lr"]), reverse=True),
+        "final_lr": float(result.history["lr"][-1]),
+        "lr_reductions": sorted({float(v) for v in result.history["lr"]},
+                                reverse=True),
         "val_mpe_trajectory": [round(float(v), 5)
                                for v in result.history["val_mpe"]],
         "val_pck20_trajectory": [round(float(v), 5)

@@ -44,7 +44,8 @@ def run_demo(args_list, output_dir, kill_on_epoch=None):
     lines = []
     for line in proc.stdout:
         lines.append(line.rstrip())
-        if len(lines) % 5 == 0 or "Epoch" in line:
+        if (len(lines) % 5 == 0 or "Epoch" in line
+                or "[resume]" in line or "[early-stop]" in line):
             print(f"  | {line.rstrip()}", flush=True)
         if (kill_on_epoch is not None and not killed
                 and line.startswith(f"Epoch {kill_on_epoch}/")):

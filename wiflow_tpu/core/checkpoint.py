@@ -25,7 +25,11 @@ from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # only device arrays need materializing; python scalars stay scalars
+    # (np.asarray would turn history floats into 0-d ndarrays, which are
+    # unhashable and poison the resumed history)
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
