@@ -268,3 +268,37 @@ def test_mmfi_materialize_guard(tmp_path):
                      data_unit="sequence")
     with pytest.raises(ValueError):
         ds.materialize()
+
+
+def test_synthetic_mmfi_learnable_mapping(tmp_path):
+    """learnable=True CSI frames must predict their GT poses (a linear
+    probe recovers the mixing map) — required for meaningful robustness
+    sweeps; the default generator's CSI is pose-independent."""
+    from wiflow_tpu.data.mmfi import generate_synthetic_mmfi
+
+    root = str(tmp_path / "learn")
+    generate_synthetic_mmfi(root, subjects=("S01",), actions=("A01",),
+                            frames=60, fmt="npy", learnable=True)
+    import glob
+
+    def probe_ratio(root_dir):
+        gt_ = np.load(os.path.join(root_dir, "E01", "S01", "A01",
+                                   "ground_truth.npy"))
+        fr = sorted(glob.glob(os.path.join(
+            root_dir, "E01", "S01", "A01", "wifi-csi", "*.npy")))
+        x_ = np.stack([np.nan_to_num(np.load(f)).reshape(-1) for f in fr])
+        y_ = gt_[: len(x_)].reshape(len(x_), -1)
+        w, *_ = np.linalg.lstsq(x_[:40], y_[:40], rcond=None)
+        resid = np.mean((x_[40:] @ w - y_[40:]) ** 2)
+        var = np.mean((y_[40:] - y_[:40].mean(0)) ** 2)
+        return resid / var
+
+    r_learn = probe_ratio(root)
+    root2 = str(tmp_path / "plain")
+    generate_synthetic_mmfi(root2, subjects=("S01",), actions=("A01",),
+                            frames=60, fmt="npy", learnable=False)
+    r_plain = probe_ratio(root2)
+    # the learnable tree is predictable (even a 40-sample min-norm probe
+    # removes most pose variance); the default tree is not
+    assert r_learn < 0.5, r_learn
+    assert r_plain > 0.8, r_plain
