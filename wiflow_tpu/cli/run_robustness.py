@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size (default: all devices)")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_frames", type=int, default=48)
+    p.add_argument("--synthetic_learnable", action="store_true",
+                   help="derive synthetic CSI from the GT poses (one "
+                        "fixed mixing map) so the model can actually "
+                        "learn — use for measured sweeps")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--no_scan", action="store_true",
                    help="per-batch steps instead of the whole-epoch "
@@ -130,9 +135,12 @@ def _load_mmfi(args):
     if args.synthetic and not os.path.isdir(args.dataset_root):
         print(f"[synthetic] generating miniature MM-Fi at "
               f"{args.dataset_root}")
-        generate_synthetic_mmfi(args.dataset_root,
-                                subjects=("S01", "S02", "S11"),
-                                actions=("A01", "A02"), frames=48)
+        subs = ("S01", "S02", "S03", "S11") if args.synthetic_learnable \
+            else ("S01", "S02", "S11")
+        generate_synthetic_mmfi(args.dataset_root, subjects=subs,
+                                actions=("A01", "A02"),
+                                frames=args.synthetic_frames,
+                                learnable=args.synthetic_learnable)
     if not os.path.isdir(args.dataset_root):
         raise FileNotFoundError(
             f"MM-Fi root {args.dataset_root!r} not found "
@@ -186,6 +194,7 @@ def main(argv=None) -> int:
           f"test {len(test_xy[0])}")
 
     results = {}
+    mode0_cache = None   # mode-0 training is noise-level-independent
     for level in args.noise_levels:
         run_dir = os.path.join(args.output_dir,
                                f"{args.model}_mode{args.mode}_n{level}")
@@ -241,13 +250,27 @@ def main(argv=None) -> int:
                                   decay_start=20, decay_end=50)),
             mesh=MeshConfig(num_devices=args.devices), output_dir=run_dir)
 
-        model = build_model(args.model, args.denoiser_stages)
-        result = train_pose_model(
-            parts["train"], parts["val"], parts["test"], cfg, run_dir,
-            model=model, resume=not args.no_resume,
-            loss_fn=conf_weighted_mse, to_keypoints=to_xy_keypoints,
-            pck_fn=pck_fn, monitor="pck",
-            init_variables=init_variables, frozen_params=frozen)
+        if args.mode == 0 and mode0_cache is not None:
+            # nothing in mode 0 depends on the level; reuse the model
+            model, result = mode0_cache
+        else:
+            model = build_model(args.model, args.denoiser_stages)
+            result = train_pose_model(
+                parts["train"], parts["val"], parts["test"], cfg, run_dir,
+                model=model, resume=not args.no_resume,
+                loss_fn=conf_weighted_mse, to_keypoints=to_xy_keypoints,
+                pck_fn=pck_fn, monitor="pck",
+                init_variables=init_variables, frozen_params=frozen)
+            if args.mode == 0:
+                mode0_cache = (model, result)
+            keys = sorted(result.history)
+            with open(os.path.join(run_dir, "training_history.csv"), "w",
+                      encoding="utf-8") as fd:
+                fd.write(",".join(["epoch"] + keys) + "\n")
+                for i in range(len(result.history[keys[0]])):
+                    fd.write(",".join(
+                        [str(i + 1)] + [f"{result.history[k][i]:.6g}"
+                                        for k in keys]) + "\n")
 
         # post-training robustness sweep on the test split (main.py's
         # outer noise_level loop evaluates the trained model per level)

@@ -340,18 +340,49 @@ def generate_synthetic_mmfi(root: str, subjects: Sequence[str] = ("S01", "S02"),
                             actions: Sequence[str] = ("A01", "A02"),
                             frames: int = 24, seed: int = 0,
                             fmt: str = "mat",
-                            modalities: Sequence[str] = ("wifi-csi",)
-                            ) -> None:
+                            modalities: Sequence[str] = ("wifi-csi",),
+                            learnable: bool = False) -> None:
     """Write a miniature MM-Fi tree (per-modality frames + ground truth)
     for tests.  Point-cloud modalities get variable frame lengths to
-    exercise the padding collate."""
+    exercise the padding collate.
+
+    ``learnable=True`` derives each CSI frame from its ground-truth pose
+    through one fixed random mixing map (plus noise), so models can
+    actually learn the CSI->pose mapping — required for meaningful
+    noise-robustness sweeps (independent random CSI/GT collapses every
+    model to the mean pose and flattens any sweep).  The mixing basis is
+    smoothed along the 114-subcarrier axis to mimic real CSI's smooth
+    frequency response: conv nets can then integrate it with local
+    receptive fields, and white AWGN is genuinely separable from the
+    signal by the traditional smoothing filters mode 2 sweeps."""
     rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter1d
+    mix = np.random.default_rng(1234).standard_normal(
+        (17 * 3, 3, 114, 10)).astype(np.float32)
+    mix = gaussian_filter1d(mix, sigma=6.0, axis=2)
+    mix = (mix / mix.std() * 0.6).reshape(17 * 3, 3 * 114 * 10)
+    # Real human poses live on a low-dimensional manifold; the HPE-Li
+    # models' pooling bottlenecks rely on that.  Draw learnable-mode
+    # poses from an 8-dim latent so they can, too.
+    pose_basis = np.random.default_rng(4321).standard_normal(
+        (8, 17 * 3)).astype(np.float32)
+    pose_basis /= np.linalg.norm(pose_basis, axis=1, keepdims=True)
     for subject in subjects:
         scene = scene_of(subject)
         for action in actions:
             base = os.path.join(root, scene, subject, action)
-            gt = rng.standard_normal((FRAMES_PER_SEQUENCE, 17, 3)).astype(
-                np.float32) * 0.3
+            if learnable:
+                latent = rng.standard_normal(
+                    (FRAMES_PER_SEQUENCE, 8)).astype(np.float32)
+                gt = (latent @ pose_basis).reshape(-1, 17, 3) * (0.3 * 2.5)
+                # MM-Fi-realistic z: camera-depth-scale positive values.
+                # The HPE-Li loss uses z as the CONFIDENCE weight
+                # (main.py:125-131); near-zero synthetic z would shrink
+                # its gradients ~100x vs the real dataset.
+                gt[..., 2] += 2.5
+            else:
+                gt = rng.standard_normal(
+                    (FRAMES_PER_SEQUENCE, 17, 3)).astype(np.float32) * 0.3
             os.makedirs(base, exist_ok=True)
             np.save(os.path.join(base, "ground_truth.npy"), gt)
             for modality in modalities:
@@ -360,7 +391,12 @@ def generate_synthetic_mmfi(root: str, subjects: Sequence[str] = ("S01", "S02"),
                 for idx in range(frames):
                     stem = os.path.join(mod, f"frame{idx + 1:03d}")
                     if modality == "wifi-csi":
-                        frame = rng.standard_normal((3, 114, 10)) * 2 + 10
+                        if learnable:
+                            kp = gt[idx % FRAMES_PER_SEQUENCE].reshape(-1)
+                            frame = (kp @ mix).reshape(3, 114, 10) \
+                                + rng.standard_normal((3, 114, 10)) * 0.3 + 10
+                        else:
+                            frame = rng.standard_normal((3, 114, 10)) * 2 + 10
                         if idx % 7 == 3:   # exercise the NaN-repair path
                             frame[0, :5, 2] = np.nan
                         if fmt == "mat":
