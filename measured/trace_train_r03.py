@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from wiflow_tpu.core import jax_cache
-jax_cache.enable()
+jax_cache.enable_persistent_compilation_cache()
 
 from wiflow_tpu.core.config import ModelConfig
 from wiflow_tpu.models.wiflow import WiFlowPoseModel
