@@ -59,10 +59,20 @@ def torch_bias_default(fan_in: int) -> Callable:
 
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch numerics (eps 1e-5, momentum 0.1, unbiased
-    running var).  Works for any rank via ``channel_axis``."""
+    running var).  Works for any rank via ``channel_axis``.
+
+    ``perm`` (static channel permutation, len == features): normalize an
+    activation whose channel at position ``i`` is *standard* channel
+    ``perm[i]`` while keeping params/stats in standard (checkpoint) order.
+    Only the [C]-sized param/stat vectors are gathered — never the
+    activation — so a scrambled-layout caller (the fused attention path)
+    pays nothing at tensor scale.  Running stats are written back through
+    the inverse permutation.
+    """
 
     features: int
     channel_axis: int = -1
+    perm: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -75,16 +85,28 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "running_var",
             lambda: jnp.ones((self.features,), jnp.float32))
 
+        if self.perm is not None:
+            import numpy as np
+            p = np.asarray(self.perm, dtype=np.int32)
+            inv = np.argsort(p)
+            gamma, beta = gamma[p], beta[p]
+            run_mean, run_var = ra_mean.value[p], ra_var.value[p]
+        else:
+            inv = None
+            run_mean, run_var = ra_mean.value, ra_var.value
+
         if train:
             y, new_mean, new_var = batch_norm_train(
-                x, gamma, beta, ra_mean.value, ra_var.value,
+                x, gamma, beta, run_mean, run_var,
                 channel_axis=self.channel_axis)
             if not self.is_initializing():
+                if inv is not None:
+                    new_mean, new_var = new_mean[inv], new_var[inv]
                 ra_mean.value = new_mean
                 ra_var.value = new_var
             return y
         return batch_norm_eval(
-            x, ra_mean.value, ra_var.value, gamma, beta,
+            x, run_mean, run_var, gamma, beta,
             channel_axis=self.channel_axis)
 
 

@@ -336,6 +336,16 @@ class AxialAttention(nn.Module):
     # attention lowering inside the module: 'xla' decomposition, 'fused'
     # Pallas core (custom VJP), or 'auto' (fused on TPU backends)
     train_impl: str = "auto"
+    # fused-path layout chaining (no effect on the XLA path): when the
+    # fused kernels run, the channel scramble they want is folded into the
+    # qkv WEIGHT columns (a [Cin, 3C] param gather) instead of gathering
+    # the [n, L, C] activations — whose transpose is the scatter-add the
+    # round-3 trace billed at ~0.3 ms/step.  `fused_scrambled_input` says
+    # the incoming activation is already in scrambled order (fold the
+    # matching row permutation too); `fused_unscramble_output=False`
+    # leaves the output scrambled for the next fused module to absorb.
+    fused_scrambled_input: bool = False
+    fused_unscramble_output: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -354,13 +364,6 @@ class AxialAttention(nn.Module):
         else:
             xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * w, h, c)
         n, length, _ = xr.shape
-
-        qkv = pointwise_conv1d(xr, wqkv)
-        qkv = TorchBatchNorm(self.out_planes * 3, name="bn_qkv")(qkv, train=train)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(n, length, self.groups, gp)
-        k = k.reshape(n, length, self.groups, gp)
-        v = v.reshape(n, length, self.groups, gp)
 
         # BatchNorm2d(groups) on the logits followed by softmax over j
         # (ref attention.py:62-63).  Softmax is invariant to additive
@@ -386,26 +389,52 @@ class AxialAttention(nn.Module):
         if use_fused:
             # fused Pallas path (custom-VJP kernels): logits never touch
             # HBM, neither in the attention core nor in the BN moments.
-            # Channels go to the kernels' scrambled (cc, g) order; the
-            # inverse permutation restores standard order after.
+            # Channels live in the kernels' scrambled (cc, g) order, but
+            # the scramble is folded into the qkv weight COLUMNS (and the
+            # BN param vectors, via TorchBatchNorm's `perm`), so no
+            # activation-sized gather — hence no bwd scatter-add — exists
+            # on the q/k/v side.  The output is unscrambled once per
+            # module chain (`fused_unscramble_output`).
             from wiflow_tpu.ops.pallas.axial_attention import scramble_perm
             import numpy as _np
             perm = scramble_perm(c_out, self.groups)
-            inv = _np.argsort(perm)
-            def to_t(a):
-                a = a.reshape(n, length, c_out)[..., perm]
-                return jnp.transpose(a, (1, 2, 0))
-            qT, kT, vT = to_t(q), to_t(k), to_t(v)
+            perm3 = _np.concatenate([perm, perm + c_out, perm + 2 * c_out])
+            w_eff = wqkv
+            if self.fused_scrambled_input:
+                if self.in_planes != self.out_planes:
+                    raise ValueError(
+                        "fused_scrambled_input requires in_planes == "
+                        "out_planes (same scramble on both sides)")
+                w_eff = w_eff[_np.asarray(perm), :]
+            w_eff = w_eff[:, _np.asarray(perm3)]
+            qkv = pointwise_conv1d(xr, w_eff)
+            qkv = TorchBatchNorm(self.out_planes * 3, name="bn_qkv",
+                                 perm=tuple(int(i) for i in perm3))(
+                qkv, train=train)
+            q, k, v = jnp.split(qkv, 3, axis=-1)   # [n, L, C] scrambled
+            qT = jnp.transpose(q, (1, 2, 0))
+            kT = jnp.transpose(k, (1, 2, 0))
+            vT = jnp.transpose(v, (1, 2, 0))
             interp = jax.default_backend() != "tpu"   # CPU: interpret mode
-            moments = None
-            if train:
-                moments = logits_moments_fused(qT, kT, self.groups, count,
-                                               128, interp)
+            moments = logits_moments_fused(qT, kT, self.groups, count,
+                                           128, interp)
             scale = LogitsBNScale(self.groups, name="bn_similarity")(
                 moments, train=train, count=count)
             outT = axial_core(qT, kT, vT, scale, self.groups, 128, interp)
-            out = jnp.transpose(outT, (2, 0, 1))[..., inv]
+            out = jnp.transpose(outT, (2, 0, 1))   # [n, L, C] scrambled
+            out = TorchBatchNorm(self.out_planes, name="bn_output",
+                                 perm=tuple(int(i) for i in perm))(
+                out, train=train)
+            if self.fused_unscramble_output:
+                out = out[..., _np.argsort(perm)]
         else:
+            qkv = pointwise_conv1d(xr, wqkv)
+            qkv = TorchBatchNorm(self.out_planes * 3, name="bn_qkv")(
+                qkv, train=train)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(n, length, self.groups, gp)
+            k = k.reshape(n, length, self.groups, gp)
+            v = v.reshape(n, length, self.groups, gp)
             moments = None
             if train:
                 moments = logits_moments(q.reshape(n, length, c_out),
@@ -426,7 +455,8 @@ class AxialAttention(nn.Module):
                              precision=jax.lax.Precision.HIGHEST
                              ).astype(x.dtype)
             out = out.reshape(n, length, self.out_planes)
-        out = TorchBatchNorm(self.out_planes, name="bn_output")(out, train=train)
+            out = TorchBatchNorm(self.out_planes, name="bn_output")(
+                out, train=train)
 
         if self.width:
             return out.reshape(b, h, w, self.out_planes)
@@ -443,11 +473,19 @@ class DualAxialAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        # When both modules run fused, the width module hands its output
+        # to the height module in the kernels' scrambled channel order
+        # (the permutations are folded into params, see AxialAttention);
+        # only the height module unscrambles, once.  Both modules share
+        # the use_fused predicate (same backend / train flag / impl), so
+        # the layouts always agree.
         x = AxialAttention(self.planes, self.planes, self.groups,
                            width=True, train_impl=self.train_impl,
+                           fused_unscramble_output=False,
                            name="width_axis")(x, train=train)
         x = AxialAttention(self.planes, self.planes, self.groups,
                            width=False, train_impl=self.train_impl,
+                           fused_scrambled_input=True,
                            name="height_axis")(x, train=train)
         return x
 

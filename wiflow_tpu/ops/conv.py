@@ -172,9 +172,12 @@ def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
     out = None
     for j in range(k):
-        seg = jax.lax.slice_in_dim(xp, j, j + stride * (out_w - 1) + 1, axis=2)
-        if stride > 1:
-            seg = seg[:, :, ::stride, :]
+        # NOTE: strided basic indexing (x[:, :, ::s]) lowers to a GATHER
+        # whose transpose is a scatter-add (~0.28 ms/step across the conv
+        # stack, measured/trace_train_r03_summary.md); a strided lax.slice
+        # lowers to slice fwd / interior-pad bwd.
+        seg = jax.lax.slice_in_dim(
+            xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
         y = jnp.einsum("bhwi,io->bhwo", seg, w[j],
                        preferred_element_type=jnp.result_type(x.dtype, jnp.float32),
                        precision=jax.lax.Precision.HIGHEST)
@@ -188,7 +191,9 @@ def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
                *, stride_w: int = 1) -> jax.Array:
     """1x1 Conv2d (optionally strided along W).  ``x [B,H,W,Ci]``, ``w [Ci,Co]``."""
     if stride_w > 1:
-        x = x[:, :, ::stride_w, :]
+        # strided lax.slice, not x[:, :, ::s, :]: basic strided indexing
+        # lowers to gather (scatter-add in the bwd) on this jax version
+        x = jax.lax.slice_in_dim(x, 0, x.shape[2], stride=stride_w, axis=2)
     y = jnp.einsum("bhwi,io->bhwo", x, w.astype(x.dtype),
                        preferred_element_type=jnp.result_type(x.dtype, jnp.float32),
                        precision=jax.lax.Precision.HIGHEST)

@@ -204,9 +204,15 @@ def train_pose_model(
                                 tc.use_augmentation and epoch > 0)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        vm, _ = eval_epoch(variables, val_x, val_y, val_idx)
         tm = jax.device_get(tm)
-        vm = jax.device_get(vm)
+        if n_val > 0:
+            vm, _ = eval_epoch(variables, val_x, val_y, val_idx)
+            vm = jax.device_get(vm)
+        else:
+            # tiny datasets can produce an empty val split (the reference
+            # splitter assigns whole files; run.py:49-57) — monitor the
+            # train-epoch metrics instead of crashing on an empty scan
+            vm = tm
         dt = time.time() - t0
 
         history["train_loss"].append(float(tm["loss"]))
