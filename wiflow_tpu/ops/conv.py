@@ -149,7 +149,8 @@ def pointwise_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> 
 
 
 def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
-              *, stride: int = 1, padding: int = 1) -> jax.Array:
+              *, stride: int = 1, padding: int = 1,
+              impl: str = "taps") -> jax.Array:
     """(1, K) Conv2d over the last spatial axis (subcarriers), tap-matmul form.
 
     Matches torch ``Conv2d(Ci, Co, kernel_size=(1, K), stride=(1, s),
@@ -167,21 +168,37 @@ def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     """
     w = w.astype(x.dtype)
     k = w.shape[0]
+    ci = x.shape[3]
     wlen = x.shape[2]
     out_w = (wlen + 2 * padding - k) // stride + 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
-    out = None
-    for j in range(k):
-        # NOTE: strided basic indexing (x[:, :, ::s]) lowers to a GATHER
-        # whose transpose is a scatter-add (~0.28 ms/step across the conv
-        # stack, measured/trace_train_r03_summary.md); a strided lax.slice
-        # lowers to slice fwd / interior-pad bwd.
-        seg = jax.lax.slice_in_dim(
+    # NOTE: strided basic indexing (x[:, :, ::s]) lowers to a GATHER
+    # whose transpose is a scatter-add (~0.28 ms/step across the conv
+    # stack, measured/trace_train_r03_summary.md); a strided lax.slice
+    # lowers to slice fwd / interior-pad bwd.
+    segs = [
+        jax.lax.slice_in_dim(
             xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
-        y = jnp.einsum("bhwi,io->bhwo", seg, w[j],
-                       preferred_element_type=jnp.result_type(x.dtype, jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
-        out = y if out is None else out + y
+        for j in range(k)
+    ]
+    if impl == "im2col":
+        # one [.., K*Ci] x [K*Ci, Co] dot: K x larger contraction dim
+        # fills the MXU far better than K summed [.., Ci] x [Ci, Co]
+        # dots when Ci is small (the conv stack runs Ci in {1..64});
+        # concat grad = slices, slice grads = pads — still gather-free
+        xcat = jnp.concatenate(segs, axis=-1)
+        out = jnp.einsum("bhwi,io->bhwo", xcat, w.reshape(k * ci, -1),
+                         preferred_element_type=jnp.result_type(
+                             x.dtype, jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+    else:
+        out = None
+        for j in range(k):
+            y = jnp.einsum("bhwi,io->bhwo", segs[j], w[j],
+                           preferred_element_type=jnp.result_type(
+                               x.dtype, jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
+            out = y if out is None else out + y
     if b is not None:
         out = out + b
     return out.astype(x.dtype)

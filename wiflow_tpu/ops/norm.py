@@ -35,13 +35,17 @@ def batch_norm_eval(x: jax.Array, mean: jax.Array, var: jax.Array,
     """Inference-mode BN using running statistics."""
     shape = [1] * x.ndim
     shape[channel_axis] = x.shape[channel_axis]
-    mean = mean.reshape(shape)
-    var = var.reshape(shape)
-    gamma = gamma.reshape(shape)
-    beta = beta.reshape(shape)
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
-    y = (x.astype(jnp.float32) - mean) * inv * gamma + beta
-    return y.astype(x.dtype)
+    # per-channel scale/shift precomputed in fp32, applied in x.dtype:
+    # a whole-tensor fp32 upcast materializes at Pallas/fusion boundaries
+    # (0.4+ ms/step of convert_element_type in the round-3 trace); the
+    # [C]-sized casts below are free and bf16 apply-noise is below the
+    # output rounding anyway.
+    a = (gamma.astype(jnp.float32) * inv).astype(x.dtype)
+    m = mean.astype(x.dtype)
+    bt = beta.astype(x.dtype)
+    y = (x - m.reshape(shape)) * a.reshape(shape) + bt.reshape(shape)
+    return y
 
 
 def batch_norm_train(
@@ -55,6 +59,8 @@ def batch_norm_train(
     update follows torch (momentum 0.1, unbiased variance).
     """
     axes = tuple(i for i in range(x.ndim) if i != channel_axis % x.ndim)
+    # fp32-accumulated moments: the converts fuse into the reductions, no
+    # fp32 copy of x is ever materialized (see batch_norm_eval note)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes)
     var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
@@ -65,12 +71,14 @@ def batch_norm_train(
 
     shape = [1] * x.ndim
     shape[channel_axis] = x.shape[channel_axis]
-    inv = jax.lax.rsqrt(var.reshape(shape) + eps)
-    y = (xf - mean.reshape(shape)) * inv * gamma.reshape(shape) + beta.reshape(shape)
+    inv = jax.lax.rsqrt(var + eps)
+    a = (gamma.astype(jnp.float32) * inv).astype(x.dtype)
+    y = ((x - mean.astype(x.dtype).reshape(shape)) * a.reshape(shape)
+         + beta.astype(x.dtype).reshape(shape))
 
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased
-    return y.astype(x.dtype), new_mean, new_var
+    return y, new_mean, new_var
 
 
 def dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
