@@ -179,3 +179,60 @@ def test_expand_banded_matches_gather_expansion():
         w2, b2 = expand_banded(w, b, k, stride, s_in, s_out)
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+@pytest.mark.parametrize("stride,padding,k,bias", [
+    (1, 1, 3, True), (2, 1, 3, True), (2, 1, 3, False),
+    (1, 0, 1, True), (2, 2, 5, True),  # uncommon geometry -> fallback path
+])
+def test_conv1xk_custom_vjp_matches_autodiff(stride, padding, k, bias):
+    """The pad-free custom VJP of conv1xk_w == XLA autodiff of the same
+    forward (the interleave/flip constructions are exact transposes)."""
+    from wiflow_tpu.ops.conv import _conv1xk_taps_impl
+
+    rng = np.random.default_rng(7)
+    b_, h, wlen, ci, co = 2, 5, 20, 4, 6
+    x = jnp.asarray(rng.standard_normal((b_, h, wlen, ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32))
+    b = (jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+         if bias else None)
+    g_out = jnp.asarray(rng.standard_normal(
+        ((wlen + 2 * padding - k) // stride + 1,)).astype(np.float32))
+
+    def loss_custom(*args):
+        y = conv1xk_w(*args, stride=stride, padding=padding)
+        return jnp.sum(y * g_out[None, None, :, None])
+
+    def loss_plain(*args):
+        y = _conv1xk_taps_impl(*args, stride, padding)
+        return jnp.sum(y * g_out[None, None, :, None])
+
+    args = (x, w, b) if bias else (x, w, None)
+    argnums = (0, 1, 2) if bias else (0, 1)
+    gc = jax.grad(loss_custom, argnums)(*args)
+    gp = jax.grad(loss_plain, argnums)(*args)
+    for a, e in zip(gc, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv1x1_s2_custom_vjp_matches_autodiff():
+    """Strided-1x1 interleave-with-zeros input grad == autodiff."""
+    from wiflow_tpu.ops.conv import _conv1x1_s2_impl
+
+    rng = np.random.default_rng(8)
+    for wlen in (20, 21):  # even and odd lengths hit both slice tails
+        x = jnp.asarray(rng.standard_normal((2, 5, wlen, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
+
+        def loss_custom(x, w):
+            return jnp.sum(jnp.sin(conv1x1_2d(x, w, stride_w=2)))
+
+        def loss_plain(x, w):
+            return jnp.sum(jnp.sin(_conv1x1_s2_impl(x, w)))
+
+        gc = jax.grad(loss_custom, (0, 1))(x, w)
+        gp = jax.grad(loss_plain, (0, 1))(x, w)
+        for a, e in zip(gc, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-4, atol=1e-4)

@@ -23,6 +23,8 @@ for 2-D (time = H, subcarrier = W).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +150,100 @@ def pointwise_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> 
     return y.astype(x.dtype)
 
 
+def _conv1xk_taps_impl(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                       stride: int, padding: int) -> jax.Array:
+    """Tap-matmul (1, K) conv body (shared by fwd and the custom VJP)."""
+    w = w.astype(x.dtype)
+    k = w.shape[0]
+    wlen = x.shape[2]
+    out_w = (wlen + 2 * padding - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
+    out = None
+    for j in range(k):
+        # NOTE: strided basic indexing (x[:, :, ::s]) lowers to a GATHER
+        # whose transpose is a scatter-add; a strided lax.slice lowers to
+        # slice fwd / interior-pad bwd (and the custom VJP below avoids
+        # even the pads).
+        seg = jax.lax.slice_in_dim(
+            xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
+        y = jnp.einsum("bhwi,io->bhwo", seg, w[j],
+                       preferred_element_type=jnp.result_type(
+                           x.dtype, jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+        out = y if out is None else out + y
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv1xk_taps(x, w, b, stride, padding):
+    return _conv1xk_taps_impl(x, w, b, stride, padding)
+
+
+def _conv1xk_taps_fwd(x, w, b, stride, padding):
+    return _conv1xk_taps_impl(x, w, b, stride, padding), (x, w, b is None)
+
+
+def _conv1xk_taps_bwd(stride, padding, res, g):
+    """Pad-free transpose of the tap-matmul conv.
+
+    XLA's autodiff of the strided forward emits one interior-pad per tap
+    (~0.78 ms/step across the conv stack, round-3 trace).  Here the
+    input grad is built as (a) stride 1: the same tap-matmul conv of g
+    with the flipped/transposed weights — slices, not pads; (b) the
+    stride-2 / K=3 / pad-1 case used by every strided block: an
+    even/odd interleave (stack + reshape, one fused pass).
+    """
+    x, w, b_none = res
+    k, ci, co = w.shape
+    wlen = x.shape[2]
+    out_w = g.shape[2]
+    wc = w.astype(x.dtype)
+    acc = jnp.result_type(x.dtype, jnp.float32)
+
+    gb = None if b_none else jnp.sum(
+        g.astype(jnp.float32), axis=(0, 1, 2)).astype(jnp.float32)
+
+    # weight grad: one big-contraction dot per tap
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
+    gws = []
+    for j in range(k):
+        seg = jax.lax.slice_in_dim(
+            xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
+        gws.append(jnp.einsum("bhwi,bhwo->io", seg, g,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+    gw = jnp.stack(gws).astype(w.dtype)
+
+    if stride == 1 and padding <= k - 1:
+        # transpose conv == conv of g with flipped, transposed taps
+        wt = jnp.flip(wc, axis=0).transpose(0, 2, 1)     # [k, co, ci]
+        gx = _conv1xk_taps_impl(g, wt, None, 1, k - 1 - padding)
+    elif stride == 2 and k == 3 and padding == 1:
+        # x index i receives tap j from output o where i = 2o + j - 1:
+        # even i=2o <- tap 1; odd i=2o+1 <- tap 2 at o and tap 0 at o+1
+        gj = [jnp.einsum("bhwo,io->bhwi", g, wc[j],
+                         preferred_element_type=acc,
+                         precision=jax.lax.Precision.HIGHEST)
+              for j in range(3)]
+        g0s = jnp.concatenate(
+            [gj[0][:, :, 1:, :], jnp.zeros_like(gj[0][:, :, :1, :])], axis=2)
+        even, odd = gj[1], gj[2] + g0s
+        bsz, h = g.shape[:2]
+        gx = jnp.stack([even, odd], axis=3).reshape(bsz, h, 2 * out_w, ci)
+        gx = jax.lax.slice_in_dim(gx, 0, wlen, axis=2).astype(x.dtype)
+    else:
+        # uncommon geometry: fall back to XLA's transpose
+        _, vjp = jax.vjp(
+            lambda xx: _conv1xk_taps_impl(xx, wc, None, stride, padding), x)
+        (gx,) = vjp(g.astype(acc))
+    return gx.astype(x.dtype), gw, gb
+
+
+_conv1xk_taps.defvjp(_conv1xk_taps_fwd, _conv1xk_taps_bwd)
+
+
 def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
               *, stride: int = 1, padding: int = 1,
               impl: str = "taps") -> jax.Array:
@@ -166,47 +262,82 @@ def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     Returns:
       ``[B, H, W_out, Co]`` with ``W_out = (W + 2P - K)//s + 1``.
     """
+    if impl == "taps":
+        # custom-VJP core: slice-based fwd, pad-free transpose
+        return _conv1xk_taps(x, w, b, stride, padding)
+    # impl == "im2col": one [.., K*Ci] x [K*Ci, Co] dot — K x larger
+    # contraction dim fills the MXU better when Ci is tiny, but the
+    # concat materialization made it SLOWER on-chip for the conv stack
+    # (4.18 vs 3.08 ms/step measured); kept as a documented alternative.
     w = w.astype(x.dtype)
     k = w.shape[0]
     ci = x.shape[3]
     wlen = x.shape[2]
     out_w = (wlen + 2 * padding - k) // stride + 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
-    # NOTE: strided basic indexing (x[:, :, ::s]) lowers to a GATHER
-    # whose transpose is a scatter-add (~0.28 ms/step across the conv
-    # stack, measured/trace_train_r03_summary.md); a strided lax.slice
-    # lowers to slice fwd / interior-pad bwd.
     segs = [
         jax.lax.slice_in_dim(
             xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
         for j in range(k)
     ]
-    if impl == "im2col":
-        # one [.., K*Ci] x [K*Ci, Co] dot: K x larger contraction dim
-        # fills the MXU far better than K summed [.., Ci] x [Ci, Co]
-        # dots when Ci is small (the conv stack runs Ci in {1..64});
-        # concat grad = slices, slice grads = pads — still gather-free
-        xcat = jnp.concatenate(segs, axis=-1)
-        out = jnp.einsum("bhwi,io->bhwo", xcat, w.reshape(k * ci, -1),
-                         preferred_element_type=jnp.result_type(
-                             x.dtype, jnp.float32),
-                         precision=jax.lax.Precision.HIGHEST)
-    else:
-        out = None
-        for j in range(k):
-            y = jnp.einsum("bhwi,io->bhwo", segs[j], w[j],
-                           preferred_element_type=jnp.result_type(
-                               x.dtype, jnp.float32),
-                           precision=jax.lax.Precision.HIGHEST)
-            out = y if out is None else out + y
+    xcat = jnp.concatenate(segs, axis=-1)
+    out = jnp.einsum("bhwi,io->bhwo", xcat, w.reshape(k * ci, -1),
+                     preferred_element_type=jnp.result_type(
+                         x.dtype, jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     if b is not None:
         out = out + b
     return out.astype(x.dtype)
 
 
+def _conv1x1_s2_impl(x: jax.Array, w: jax.Array) -> jax.Array:
+    xs = jax.lax.slice_in_dim(x, 0, x.shape[2], stride=2, axis=2)
+    y = jnp.einsum("bhwi,io->bhwo", xs, w.astype(x.dtype),
+                   preferred_element_type=jnp.result_type(
+                       x.dtype, jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _conv1x1_s2(x, w):
+    return _conv1x1_s2_impl(x, w)
+
+
+def _conv1x1_s2_fwd(x, w):
+    return _conv1x1_s2_impl(x, w), (x, w)
+
+
+def _conv1x1_s2_bwd(res, g):
+    """Interleave-with-zeros input grad (no interior pad)."""
+    x, w = res
+    wlen = x.shape[2]
+    bsz, h, out_w, _ = g.shape
+    gh = jnp.einsum("bhwo,io->bhwi", g, w.astype(x.dtype),
+                    preferred_element_type=jnp.result_type(
+                        x.dtype, jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    gx = jnp.stack([gh, jnp.zeros_like(gh)], axis=3)
+    gx = gx.reshape(bsz, h, 2 * out_w, x.shape[3])
+    gx = jax.lax.slice_in_dim(gx, 0, wlen, axis=2).astype(x.dtype)
+    xs = jax.lax.slice_in_dim(x, 0, wlen, stride=2, axis=2)
+    gw = jnp.einsum("bhwi,bhwo->io", xs, g,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(w.dtype)
+    return gx, gw
+
+
+_conv1x1_s2.defvjp(_conv1x1_s2_fwd, _conv1x1_s2_bwd)
+
+
 def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
                *, stride_w: int = 1) -> jax.Array:
     """1x1 Conv2d (optionally strided along W).  ``x [B,H,W,Ci]``, ``w [Ci,Co]``."""
+    if stride_w == 2:
+        y = _conv1x1_s2(x, w)
+        if b is not None:
+            y = (y + b).astype(x.dtype)
+        return y
     if stride_w > 1:
         # strided lax.slice, not x[:, :, ::s, :]: basic strided indexing
         # lowers to gather (scatter-add in the bwd) on this jax version
