@@ -54,11 +54,15 @@ def test_pointwise_conv1d_matches_torch():
                                rtol=RTOL, atol=ATOL)
 
 
-@pytest.mark.parametrize("stride,w_in", [(1, 240), (2, 240), (2, 30)])
-def test_conv1xk_matches_torch(stride, w_in):
+@pytest.mark.parametrize("stride,w_in,ci,co", [
+    (1, 240, 8, 16), (2, 240, 8, 16), (2, 30, 8, 16),
+    (1, 240, 1, 8),   # the `up` block: VPU outer-product lowering
+    (1, 240, 8, 1),   # mul-reduce lowering (bwd of the above)
+])
+def test_conv1xk_matches_torch(stride, w_in, ci, co):
     """(1,3) conv with stride (1,s) pad (0,1) (ref convnet.py:11-17)."""
     rng = np.random.default_rng(2)
-    b, h, ci, co = 2, 20, 8, 16
+    b, h = 2, 20
     x = rng.standard_normal((b, ci, h, w_in)).astype(np.float32)
     conv = nn.Conv2d(ci, co, kernel_size=(1, 3), stride=(1, stride),
                      padding=(0, 1))
@@ -181,17 +185,19 @@ def test_expand_banded_matches_gather_expansion():
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
-@pytest.mark.parametrize("stride,padding,k,bias", [
-    (1, 1, 3, True), (2, 1, 3, True), (2, 1, 3, False),
-    (1, 0, 1, True), (2, 2, 5, True),  # uncommon geometry -> fallback path
+@pytest.mark.parametrize("stride,padding,k,bias,ci,co", [
+    (1, 1, 3, True, 4, 6), (2, 1, 3, True, 4, 6), (2, 1, 3, False, 4, 6),
+    (1, 0, 1, True, 4, 6), (2, 2, 5, True, 4, 6),  # uncommon -> fallback
+    (1, 1, 3, True, 1, 8), (2, 1, 3, True, 1, 8),  # ci=1 VPU lowering
+    (1, 1, 3, True, 8, 1), (2, 1, 3, True, 8, 1),  # co=1 VPU lowering
 ])
-def test_conv1xk_custom_vjp_matches_autodiff(stride, padding, k, bias):
+def test_conv1xk_custom_vjp_matches_autodiff(stride, padding, k, bias, ci, co):
     """The pad-free custom VJP of conv1xk_w == XLA autodiff of the same
     forward (the interleave/flip constructions are exact transposes)."""
     from wiflow_tpu.ops.conv import _conv1xk_taps_impl
 
     rng = np.random.default_rng(7)
-    b_, h, wlen, ci, co = 2, 5, 20, 4, 6
+    b_, h, wlen = 2, 5, 20
     x = jnp.asarray(rng.standard_normal((b_, h, wlen, ci)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32))
     b = (jnp.asarray(rng.standard_normal((co,)).astype(np.float32))

@@ -150,6 +150,25 @@ def pointwise_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> 
     return y.astype(x.dtype)
 
 
+def _tap_dot(seg: jax.Array, wj: jax.Array, acc) -> jax.Array:
+    """``[.., Ci] x [Ci, Co]`` minor-dim contraction for one conv tap.
+
+    A 1-wide contraction on the MXU pads the 128-lane tile 128x, so the
+    ``up`` block (Ci=1 -> Co=8) moved ~two orders of magnitude more tile
+    than data.  Dispatch those degenerate shapes to VPU broadcasts:
+    an outer product for Ci=1, a minor-axis mul-reduce for Co=1.
+    """
+    ci, co = wj.shape
+    if ci == 1:
+        return seg.astype(acc) * wj[0].astype(acc)
+    if co == 1:
+        return jnp.sum(seg.astype(acc) * wj[:, 0].astype(acc),
+                       axis=-1, keepdims=True)
+    return jnp.einsum("bhwi,io->bhwo", seg, wj,
+                      preferred_element_type=acc,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _conv1xk_taps_impl(x: jax.Array, w: jax.Array, b: jax.Array | None,
                        stride: int, padding: int) -> jax.Array:
     """Tap-matmul (1, K) conv body (shared by fwd and the custom VJP)."""
@@ -157,6 +176,7 @@ def _conv1xk_taps_impl(x: jax.Array, w: jax.Array, b: jax.Array | None,
     k = w.shape[0]
     wlen = x.shape[2]
     out_w = (wlen + 2 * padding - k) // stride + 1
+    acc = jnp.result_type(x.dtype, jnp.float32)
     xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
     out = None
     for j in range(k):
@@ -166,10 +186,7 @@ def _conv1xk_taps_impl(x: jax.Array, w: jax.Array, b: jax.Array | None,
         # even the pads).
         seg = jax.lax.slice_in_dim(
             xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
-        y = jnp.einsum("bhwi,io->bhwo", seg, w[j],
-                       preferred_element_type=jnp.result_type(
-                           x.dtype, jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
+        y = _tap_dot(seg, w[j], acc)
         out = y if out is None else out + y
     if b is not None:
         out = out + b
@@ -205,16 +222,32 @@ def _conv1xk_taps_bwd(stride, padding, res, g):
     gb = None if b_none else jnp.sum(
         g.astype(jnp.float32), axis=(0, 1, 2)).astype(jnp.float32)
 
-    # weight grad: one big-contraction dot per tap
+    # weight grad: one big-contraction dot per tap (mul-reduce when the
+    # non-contracted Ci axis is 1 — fuses with the gb reduction's g read)
     xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding), (0, 0)))
     gws = []
     for j in range(k):
         seg = jax.lax.slice_in_dim(
             xp, j, j + stride * (out_w - 1) + 1, stride=stride, axis=2)
-        gws.append(jnp.einsum("bhwi,bhwo->io", seg, g,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
+        if ci == 1:
+            gws.append(jnp.sum(seg.astype(jnp.float32) *
+                               g.astype(jnp.float32), axis=(0, 1, 2))[None])
+        else:
+            gws.append(jnp.einsum("bhwi,bhwo->io", seg, g,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST))
     gw = jnp.stack(gws).astype(w.dtype)
+
+    def tap_dot_t(gj_, wj):
+        # "bhwo,io->bhwi" with the same degenerate-shape VPU dispatch
+        if co == 1:
+            return gj_.astype(acc) * wj[:, 0].astype(acc)
+        if ci == 1:
+            return jnp.sum(gj_.astype(acc) * wj[0].astype(acc),
+                           axis=-1, keepdims=True)
+        return jnp.einsum("bhwo,io->bhwi", gj_, wj,
+                          preferred_element_type=acc,
+                          precision=jax.lax.Precision.HIGHEST)
 
     if stride == 1 and padding <= k - 1:
         # transpose conv == conv of g with flipped, transposed taps
@@ -223,10 +256,7 @@ def _conv1xk_taps_bwd(stride, padding, res, g):
     elif stride == 2 and k == 3 and padding == 1:
         # x index i receives tap j from output o where i = 2o + j - 1:
         # even i=2o <- tap 1; odd i=2o+1 <- tap 2 at o and tap 0 at o+1
-        gj = [jnp.einsum("bhwo,io->bhwi", g, wc[j],
-                         preferred_element_type=acc,
-                         precision=jax.lax.Precision.HIGHEST)
-              for j in range(3)]
+        gj = [tap_dot_t(g, wc[j]) for j in range(3)]
         g0s = jnp.concatenate(
             [gj[0][:, :, 1:, :], jnp.zeros_like(gj[0][:, :, :1, :])], axis=2)
         even, odd = gj[1], gj[2] + g0s
@@ -342,9 +372,8 @@ def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
         # strided lax.slice, not x[:, :, ::s, :]: basic strided indexing
         # lowers to gather (scatter-add in the bwd) on this jax version
         x = jax.lax.slice_in_dim(x, 0, x.shape[2], stride=stride_w, axis=2)
-    y = jnp.einsum("bhwi,io->bhwo", x, w.astype(x.dtype),
-                       preferred_element_type=jnp.result_type(x.dtype, jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
+    y = _tap_dot(x, w.astype(x.dtype),
+                 jnp.result_type(x.dtype, jnp.float32))
     if b is not None:
         y = y + b
     return y.astype(x.dtype)
