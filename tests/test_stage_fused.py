@@ -1,0 +1,197 @@
+"""Parity tests for the stage-fused train-path kernels.
+
+ops/pallas/stage_fused.py runs (in interpret mode here) against its
+plain-XLA reference and against the module path:
+
+  * stage/join forward + full grad parity vs XLA autodiff of stage_ref,
+    over every geometry the TCN uses (identity/causal3, mask, bias,
+    stats emission);
+  * the whole TCNStack with ``train_impl='fused'`` vs ``'xla'``:
+    forward, updated batch_stats, and every parameter gradient.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiflow_tpu.models.wiflow import TCNStack
+from wiflow_tpu.ops.pallas.stage_fused import join, join_ref, stage, stage_ref
+
+KEEP = 0.7
+
+
+@pytest.mark.parametrize("seg,dil", [("identity", 1), ("causal3", 2)])
+@pytest.mark.parametrize("has_pro,has_mask,has_bias,emit", [
+    (True, True, True, True),
+    (False, False, False, True),
+    (True, False, True, False),
+])
+def test_stage_matches_reference(seg, dil, has_pro, has_mask, has_bias,
+                                 emit):
+    rng = np.random.default_rng(0)
+    ng, ci, co, t, nb = 2, 24, 16, 20, 8
+    l = t * nb
+    r_rows = 3 * ci if seg == "causal3" else ci
+    xb = jnp.asarray(rng.standard_normal((ng, ci, l)), jnp.float32)
+    mm = jnp.asarray(rng.standard_normal(ci), jnp.float32) if has_pro else None
+    s = jnp.asarray(rng.standard_normal(ci), jnp.float32) if has_pro else None
+    tt = jnp.asarray(rng.standard_normal(ci), jnp.float32) if has_pro else None
+    m = jnp.asarray(rng.random((ng, ci, l)) < KEEP) if has_mask else None
+    w = jnp.asarray(rng.standard_normal((r_rows, co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32) if has_bias else None
+    kw = dict(seg=seg, dil=dil, t=t, nb=nb, keep=KEEP, emit_stats=emit)
+
+    o1, p1, q1 = stage(xb, mm, s, tt, m, w, b, interpret=True, **kw)
+    o2, p2, q2 = stage_ref(xb, mm, s, tt, m, w, b, **kw)
+    np.testing.assert_allclose(o1, o2, rtol=2e-5, atol=2e-5)
+    if emit:
+        np.testing.assert_allclose(p1, jnp.sum(p2, axis=0), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(q1, jnp.sum(q2, axis=0), rtol=1e-4,
+                                   atol=1e-4)
+
+    gvec = jnp.asarray(rng.standard_normal((ng, co, l)) * .1, jnp.float32)
+    pv = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    qv = jnp.asarray(rng.standard_normal(co) * .01, jnp.float32)
+
+    def make_loss(fn, reduce_partials):
+        def loss(xb, mm, s, tt, w, b):
+            o, p, q = fn(xb, mm, s, tt, m, w, b, **kw)
+            r = jnp.sum(o * gvec)
+            if emit:
+                if reduce_partials:
+                    p, q = jnp.sum(p, axis=0), jnp.sum(q, axis=0)
+                r = r + jnp.sum(p * pv) + jnp.sum(q * qv)
+            return r
+        return loss
+
+    argn = tuple(i for i, a in enumerate((xb, mm, s, tt, w, b))
+                 if a is not None)
+    loss_k = make_loss(
+        lambda *a, **k: stage(*a, interpret=True, **k), False)
+    gk = jax.grad(loss_k, argn)(xb, mm, s, tt, w, b)
+    gr = jax.grad(make_loss(stage_ref, True), argn)(xb, mm, s, tt, w, b)
+    for a, e in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("has_mask", [True, False])
+@pytest.mark.parametrize("has_rn", [True, False])
+def test_join_matches_reference(has_mask, has_rn):
+    rng = np.random.default_rng(1)
+    ng, c, t, nb = 2, 24, 20, 8
+    l = t * nb
+    hb = jnp.asarray(rng.standard_normal((ng, c, l)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((ng, c, l)), jnp.float32)
+    mh, sh, th = (jnp.asarray(rng.standard_normal(c), jnp.float32)
+                  for _ in range(3))
+    m = jnp.asarray(rng.random((ng, c, l)) < KEEP) if has_mask else None
+    mr = sr = tr = None
+    if has_rn:
+        mr, sr, tr = (jnp.asarray(rng.standard_normal(c), jnp.float32)
+                      for _ in range(3))
+
+    o1 = join(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP, interpret=True)
+    o2 = join_ref(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP)
+    np.testing.assert_allclose(o1, o2, rtol=2e-5, atol=2e-5)
+
+    gvec = jnp.asarray(rng.standard_normal((ng, c, l)) * .1, jnp.float32)
+    args = [a for a in (hb, mh, sh, th, rb, mr, sr, tr) if a is not None]
+
+    def unpack(a):
+        ai = iter(a)
+        hb_, mh_, sh_, th_, rb_ = (next(ai) for _ in range(5))
+        mr_ = next(ai) if has_rn else None
+        sr_ = next(ai) if has_rn else None
+        tr_ = next(ai) if has_rn else None
+        return hb_, mh_, sh_, th_, rb_, mr_, sr_, tr_
+
+    def lk(*a):
+        hb_, mh_, sh_, th_, rb_, mr_, sr_, tr_ = unpack(a)
+        return jnp.sum(join(hb_, mh_, sh_, th_, m, rb_, mr_, sr_, tr_,
+                            keep=KEEP, interpret=True) * gvec)
+
+    def lr(*a):
+        hb_, mh_, sh_, th_, rb_, mr_, sr_, tr_ = unpack(a)
+        return jnp.sum(join_ref(hb_, mh_, sh_, th_, m, rb_, mr_, sr_, tr_,
+                                keep=KEEP) * gvec)
+
+    gk = jax.grad(lk, tuple(range(len(args))))(*args)
+    gr = jax.grad(lr, tuple(range(len(args))))(*args)
+    for a, e in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fused_tcn_stack_matches_xla_path():
+    """TCNStack(train_impl='fused') == 'xla': fwd, batch_stats, grads.
+
+    Dropout rate 0 so both paths are deterministic (the fused path draws
+    its masks at level scope, the module path inside TorchDropout — same
+    marginal law, different streams)."""
+    rng = np.random.default_rng(0)
+    b, t, c0 = 16, 20, 60
+    chans = (60, 40, 30)
+    x = jnp.asarray(rng.standard_normal((b, t, c0)), jnp.float32)
+
+    def make(impl):
+        return TCNStack(num_inputs=c0, num_channels=chans, kernel_size=3,
+                        groups=10, dropout=0.0, train_impl=impl)
+
+    mx, mf = make("xla"), make("fused")
+    v = mx.init({"params": jax.random.key(0)}, x, train=False)
+    yx, sx = mx.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, sf = mf.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(yf, yx, rtol=2e-5, atol=2e-5)
+
+    fx = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sx["batch_stats"])}
+    ff = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sf["batch_stats"])}
+    assert fx.keys() == ff.keys()
+    for k in fx:
+        np.testing.assert_allclose(ff[k], fx[k], rtol=1e-5, atol=1e-5,
+                                   err_msg=k)
+
+    gv = jnp.asarray(rng.standard_normal((b, t, chans[-1])) * 0.1,
+                     jnp.float32)
+
+    def loss(params, m):
+        y, _ = m.apply({"params": params,
+                        "batch_stats": v["batch_stats"]},
+                       x, train=True, mutable=["batch_stats"])
+        return jnp.sum(y * gv)
+
+    gx = jax.grad(loss)(v["params"], mx)
+    gf = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(jax.grad(loss)(v["params"],
+                                                             mf))}
+    for k, a in jax.tree_util.tree_leaves_with_path(gx):
+        e = gf[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(e), np.asarray(a), rtol=3e-4, atol=3e-4,
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_tcn_dropout_masks_behave():
+    """With dropout on, the fused path stays finite, differs per rng key,
+    and is deterministic per key."""
+    rng = np.random.default_rng(2)
+    b, t, c0 = 16, 20, 40
+    x = jnp.asarray(rng.standard_normal((b, t, c0)), jnp.float32)
+    m = TCNStack(num_inputs=c0, num_channels=(40, 30), kernel_size=3,
+                 groups=10, dropout=0.3, train_impl="fused")
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               x, train=False)
+
+    def run(seed):
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.key(seed)})
+        return y
+
+    y1, y1b, y2 = run(1), run(1), run(2)
+    assert bool(jnp.all(jnp.isfinite(y1)))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-4

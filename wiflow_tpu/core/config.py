@@ -90,6 +90,11 @@ class ModelConfig:
     # attention lowering in the flax module (train + module eval):
     # 'auto' = fused Pallas core on TPU, XLA decomposition elsewhere
     attention_module_impl: str = "auto"
+    # TCN train-path lowering: 'auto' = stage-fused Pallas kernels on
+    # TPU (ops/pallas/stage_fused.py), XLA elsewhere; 'fused' forces
+    # them (interpret off-TPU, for tests); 'xla' disables
+    # (default 'xla' until the fused path is chip-verified)
+    tcn_train_impl: str = "xla"
     # conv-stack lowering in the flax module: 'taps' = plain [B,H,W,C]
     # tap matmuls (default — measured 3.2 ms/step fwd+bwd at batch 256 on
     # v5e), 'chunked' = space-to-depth banded matmuls (ops/chunked.py;

@@ -75,7 +75,14 @@ class TorchBatchNorm(nn.Module):
     perm: tuple | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array | None, *, train: bool,
+                 moments: tuple | None = None, dtype=None):
+        """Normalize ``x`` — or, when ``moments=(mean, var)`` is given
+        (the fused stage path, ops/pallas/stage_fused.py), skip the
+        tensor work: update the running stats from the supplied batch
+        moments and return the per-channel apply vectors
+        ``(m, a, b)`` such that ``y = (x - m) * a + b`` reproduces
+        ops/norm.batch_norm_train bit for bit in ``dtype``."""
         gamma = self.param("weight", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(
@@ -84,6 +91,20 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "running_var",
             lambda: jnp.ones((self.features,), jnp.float32))
+
+        if moments is not None:
+            assert train and self.perm is None
+            from wiflow_tpu.ops.norm import EPS, MOMENTUM
+            mean, var, count = moments
+            inv = jax.lax.rsqrt(var + EPS)
+            a = (gamma.astype(jnp.float32) * inv).astype(dtype)
+            if not self.is_initializing():
+                unbiased = var * (count / max(count - 1, 1))
+                ra_mean.value = ((1.0 - MOMENTUM) * ra_mean.value
+                                 + MOMENTUM * mean)
+                ra_var.value = ((1.0 - MOMENTUM) * ra_var.value
+                                + MOMENTUM * unbiased)
+            return mean.astype(dtype), a, beta.astype(dtype)
 
         if self.perm is not None:
             import numpy as np

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import functools
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -72,13 +73,13 @@ class TCNLevel(nn.Module):
         return self.groups
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool,
+                 fused: tuple | None = None) -> jax.Array:
         k = self.kernel_size
         g1 = self._groups(self.n_in)
         g2 = self._groups(self.n_out)
         ci_in = self.n_in // g1
         ci_out = self.n_out // g2
-        b, t, _ = x.shape
 
         w1g = self.param("conv1_group_weight",
                          kaiming_normal_fan_out(self.n_in * k),
@@ -92,11 +93,17 @@ class TCNLevel(nn.Module):
         w2p = self.param("conv2_pw_weight",
                          kaiming_normal_fan_out(self.n_out * 1),
                          (self.n_out, self.n_out))
-
+        wd = None
         if self.n_in != self.n_out:
             wd = self.param("downsample_weight",
                             kaiming_normal_fan_out(self.n_out * 1),
                             (self.n_in, self.n_out))
+
+        if fused is not None:
+            return self._fused_blocks(x, (w1g, w1p, w2g, w2p, wd), fused)
+
+        b, t, _ = x.shape
+        if wd is not None:
             res = pointwise_conv1d(x, wd)
             res = TorchBatchNorm(self.n_out, name="downsample_bn")(res, train=train)
         else:
@@ -126,6 +133,68 @@ class TCNLevel(nn.Module):
 
         return silu(out + res)
 
+    def _fused_blocks(self, xb: jax.Array, weights, fused) -> jax.Array:
+        """Stage-fused train path on ``[ng, C, T*Nb]`` blocks.
+
+        One Pallas call per BN-apply->SiLU->dropout->conv stage
+        (ops/pallas/stage_fused.py); BatchNorm stat finalization and
+        running updates stay in the TorchBatchNorm modules via the
+        ``moments=`` entry, so param/stat trees and numerics are the
+        XLA path's exactly."""
+        from wiflow_tpu.ops.pallas.stage_fused import join, stage
+
+        t, nb, interpret = fused
+        w1g, w1p, w2g, w2p, wd = weights
+        dil = self.dilation
+        dtype = xb.dtype
+        ng, _, l = xb.shape
+        n = ng * l                               # BN count: B*T
+        keep = 1.0 - self.dropout
+        use_mask = self.dropout > 0.0
+
+        def bd_pack(wg):
+            # [K, G, Ci, Co] grouped taps -> [K*G*Ci, G*Co] block-diag
+            # (constant-mask broadcast: differentiable, no scatters)
+            kk, g, ci, co = wg.shape
+            eye = jnp.eye(g, dtype=wg.dtype)
+            bd = wg[:, :, :, None, :] * eye[None, :, None, :, None]
+            return bd.reshape(kk * g * ci, g * co)
+
+        def bn(name, feats, psum, psumsq):
+            mean = psum / n
+            var = psumsq / n - jnp.square(mean)
+            return TorchBatchNorm(feats, name=name)(
+                None, train=True, moments=(mean, var, n), dtype=dtype)
+
+        def mask(shape):
+            if not use_mask:
+                return None
+            return jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                        shape)
+
+        st = functools.partial(stage, t=t, nb=nb, keep=keep,
+                               interpret=interpret)
+
+        h1, a, q = st(xb, None, None, None, None, bd_pack(w1g), None,
+                      seg="causal3", dil=dil)
+        m1, s1, b1 = bn("bn1_group", self.n_in, a, q)
+        h2, a, q = st(h1, m1, s1, b1, None, w1p, None, seg="identity")
+        m2, s2, b2 = bn("bn1_pw", self.n_out, a, q)
+        h3, a, q = st(h2, m2, s2, b2, mask((ng, self.n_out, l)),
+                      bd_pack(w2g), None, seg="causal3", dil=dil)
+        m3, s3, b3 = bn("bn2_group", self.n_out, a, q)
+        h4, a, q = st(h3, m3, s3, b3, None, w2p, None, seg="identity")
+        m4, s4, b4 = bn("bn2_pw", self.n_out, a, q)
+        mask2 = mask((ng, self.n_out, l))
+        if wd is not None:
+            resb, a, q = st(xb, None, None, None, None, wd, None,
+                            seg="identity")
+            mr, sr, br = bn("downsample_bn", self.n_out, a, q)
+            return join(h4, m4, s4, b4, mask2, resb, mr, sr, br,
+                        keep=keep, interpret=interpret)
+        return join(h4, m4, s4, b4, mask2, xb, keep=keep,
+                    interpret=interpret)
+
 
 class TCNStack(nn.Module):
     """Stack of TCN levels with dilation 2**i (ref: models/tcn.py:76-97)."""
@@ -137,9 +206,29 @@ class TCNStack(nn.Module):
     dropout: float
     conv_kind: str = "grouped"
     matmul_impl: str = "grouped"
+    # train-path lowering: 'auto' = stage-fused Pallas kernels on TPU
+    # (ops/pallas/stage_fused.py), XLA elsewhere; 'fused' forces the
+    # kernels (interpret mode off-TPU, for tests); 'xla' disables.
+    # Default 'xla' until the fused path is chip-verified (next commit).
+    train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        b, t, _ = x.shape
+        nb = next((c for c in (64, 32, 16, 8) if b % c == 0), None)
+        use_fused = (train and self.kernel_size == 3 and nb is not None
+                     and (self.train_impl == "fused"
+                          or (self.train_impl == "auto"
+                              and jax.default_backend() == "tpu")))
+        fused = None
+        if use_fused:
+            interpret = jax.default_backend() != "tpu"
+            fused = (t, nb, interpret)
+            ng = b // nb
+            # [B, T, C] -> [ng, C, T*Nb], lanes (time, batch)
+            x = x.reshape(ng, nb, t, -1).transpose(0, 3, 2, 1)
+            x = x.reshape(ng, x.shape[1], t * nb)
+
         n_in = self.num_inputs
         for i, n_out in enumerate(self.num_channels):
             x = TCNLevel(
@@ -147,8 +236,13 @@ class TCNStack(nn.Module):
                 dilation=2 ** i, groups=self.groups, dropout=self.dropout,
                 conv_kind=self.conv_kind, matmul_impl=self.matmul_impl,
                 name=f"network_{i}",
-            )(x, train=train)
+            )(x, train=train, fused=fused)
             n_in = n_out
+
+        if use_fused:
+            ng, c_last, _ = x.shape
+            x = x.reshape(ng, c_last, t, nb).transpose(0, 3, 2, 1)
+            x = x.reshape(b, t, c_last)
         return x
 
 
@@ -621,6 +715,7 @@ class WiFlowPoseModel(nn.Module):
                 dropout=cfg.dropout,
                 conv_kind=cfg.tcn_conv,
                 matmul_impl=cfg.tcn_matmul,
+                train_impl=cfg.tcn_train_impl,
                 name="tcn",
             )(x, train=train)                   # [B, 20, 240]
 
