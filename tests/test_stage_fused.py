@@ -21,7 +21,10 @@ from wiflow_tpu.ops.pallas.stage_fused import join, join_ref, stage, stage_ref
 KEEP = 0.7
 
 
-@pytest.mark.parametrize("seg,dil", [("identity", 1), ("causal3", 2)])
+@pytest.mark.parametrize("seg,dil", [
+    ("identity", 1), ("causal3", 2), ("sym3", 1),
+    ("chunk3:2", 1), ("chunk1:2", 1),
+])
 @pytest.mark.parametrize("has_pro,has_mask,has_bias,emit", [
     (True, True, True, True),
     (False, False, False, True),
@@ -32,7 +35,8 @@ def test_stage_matches_reference(seg, dil, has_pro, has_mask, has_bias,
     rng = np.random.default_rng(0)
     ng, ci, co, t, nb = 2, 24, 16, 20, 8
     l = t * nb
-    r_rows = 3 * ci if seg == "causal3" else ci
+    from wiflow_tpu.ops.pallas.stage_fused import _seg_info
+    r_rows = _seg_info(seg)[0] * ci
     xb = jnp.asarray(rng.standard_normal((ng, ci, l)), jnp.float32)
     mm = jnp.asarray(rng.standard_normal(ci), jnp.float32) if has_pro else None
     s = jnp.asarray(rng.standard_normal(ci), jnp.float32) if has_pro else None
@@ -51,7 +55,8 @@ def test_stage_matches_reference(seg, dil, has_pro, has_mask, has_bias,
         np.testing.assert_allclose(q1, jnp.sum(q2, axis=0), rtol=1e-4,
                                    atol=1e-4)
 
-    gvec = jnp.asarray(rng.standard_normal((ng, co, l)) * .1, jnp.float32)
+    l_out = l // _seg_info(seg)[1]
+    gvec = jnp.asarray(rng.standard_normal((ng, co, l_out)) * .1, jnp.float32)
     pv = jnp.asarray(rng.standard_normal(co), jnp.float32)
     qv = jnp.asarray(rng.standard_normal(co) * .01, jnp.float32)
 
@@ -79,7 +84,8 @@ def test_stage_matches_reference(seg, dil, has_pro, has_mask, has_bias,
 
 @pytest.mark.parametrize("has_mask", [True, False])
 @pytest.mark.parametrize("has_rn", [True, False])
-def test_join_matches_reference(has_mask, has_rn):
+@pytest.mark.parametrize("act_h", [True, False])
+def test_join_matches_reference(has_mask, has_rn, act_h):
     rng = np.random.default_rng(1)
     ng, c, t, nb = 2, 24, 20, 8
     l = t * nb
@@ -93,8 +99,9 @@ def test_join_matches_reference(has_mask, has_rn):
         mr, sr, tr = (jnp.asarray(rng.standard_normal(c), jnp.float32)
                       for _ in range(3))
 
-    o1 = join(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP, interpret=True)
-    o2 = join_ref(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP)
+    o1 = join(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP, interpret=True,
+              act_h=act_h)
+    o2 = join_ref(hb, mh, sh, th, m, rb, mr, sr, tr, keep=KEEP, act_h=act_h)
     np.testing.assert_allclose(o1, o2, rtol=2e-5, atol=2e-5)
 
     gvec = jnp.asarray(rng.standard_normal((ng, c, l)) * .1, jnp.float32)
@@ -111,12 +118,12 @@ def test_join_matches_reference(has_mask, has_rn):
     def lk(*a):
         hb_, mh_, sh_, th_, rb_, mr_, sr_, tr_ = unpack(a)
         return jnp.sum(join(hb_, mh_, sh_, th_, m, rb_, mr_, sr_, tr_,
-                            keep=KEEP, interpret=True) * gvec)
+                            keep=KEEP, interpret=True, act_h=act_h) * gvec)
 
     def lr(*a):
         hb_, mh_, sh_, th_, rb_, mr_, sr_, tr_ = unpack(a)
         return jnp.sum(join_ref(hb_, mh_, sh_, th_, m, rb_, mr_, sr_, tr_,
-                                keep=KEEP) * gvec)
+                                keep=KEEP, act_h=act_h) * gvec)
 
     gk = jax.grad(lk, tuple(range(len(args))))(*args)
     gr = jax.grad(lr, tuple(range(len(args))))(*args)
@@ -195,3 +202,85 @@ def test_fused_tcn_dropout_masks_behave():
     assert bool(jnp.all(jnp.isfinite(y1)))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
     assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-4
+
+
+def test_fused_conv_stack_matches_xla_path():
+    """WiFlowPoseModel with conv_train_impl='fused' == 'xla' (fwd,
+    batch_stats, grads) at f32, conv_dropout 0.
+
+    Conv biases feed straight into train-mode BN, so their true gradient
+    is ~0 (the batch-mean shift cancels); the comparison uses an
+    absolute floor to ignore that noise."""
+    import functools
+    from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.models.wiflow import WiFlowPoseModel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 540, 20)), jnp.float32)
+    mk = lambda impl: WiFlowPoseModel(ModelConfig(
+        conv_train_impl=impl, conv_dropout=0.0, dropout=0.0,
+        compute_dtype="float32"))
+    mx, mf = mk("xla"), mk("fused")
+    v = jax.jit(functools.partial(mx.init, train=False))(
+        {"params": jax.random.key(0)}, x)
+    yx, sx = mx.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, sf = mf.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
+                               rtol=1e-4, atol=1e-4)
+    fx = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sx["batch_stats"])}
+    ff = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sf["batch_stats"])}
+    assert fx.keys() == ff.keys()
+    for k in fx:
+        np.testing.assert_allclose(np.asarray(ff[k]), np.asarray(fx[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    gv = jnp.asarray(rng.standard_normal((8, 15, 2)), jnp.float32)
+
+    def loss(p, m):
+        y, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                       train=True, mutable=["batch_stats"])
+        return jnp.sum(y * gv)
+
+    gx = jax.grad(loss)(v["params"], mx)
+    gf = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(jax.grad(loss)(v["params"],
+                                                             mf))}
+    for k, a in jax.tree_util.tree_leaves_with_path(gx):
+        k = jax.tree_util.keystr(k)
+        # block-sequential f32 accumulation vs XLA's tree reduce drifts
+        # single elements ~1e-3 on heavy-cancellation reductions and the
+        # noise amplifies back through upstream layers — compare in
+        # relative L2 (a real math bug is orders of magnitude larger)
+        a = np.asarray(a, np.float64)
+        e = np.asarray(gf[k], np.float64)
+        diff = np.linalg.norm(e - a)
+        rel = diff / (np.linalg.norm(a) + 1e-4)
+        assert rel < 2e-3 or diff < 1e-3, (k, rel, diff)
+
+
+def test_fused_conv_stack_dropout2d_mask_structure():
+    """With conv_dropout on, the fused path is finite and the Dropout2d
+    law holds (mask shared per (sample, channel))."""
+    import functools
+    from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.models.wiflow import WiFlowPoseModel
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 540, 20)), jnp.float32)
+    m = WiFlowPoseModel(ModelConfig(conv_train_impl="fused",
+                                    tcn_train_impl="fused"))
+    v = jax.jit(functools.partial(m.init, train=False))(
+        {"params": jax.random.key(0)}, x)
+
+    def run(seed):
+        y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.key(seed)})
+        return y
+
+    y1, y1b, y2 = run(1), run(1), run(2)
+    assert bool(jnp.all(jnp.isfinite(y1)))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
+    assert float(jnp.max(jnp.abs(y1.astype(jnp.float32)
+                                 - y2.astype(jnp.float32)))) > 1e-4

@@ -95,6 +95,11 @@ class ModelConfig:
     # them (interpret off-TPU, for tests); 'xla' disables
     # (default 'xla' until the fused path is chip-verified)
     tcn_train_impl: str = "xla"
+    # conv-stack train-path lowering, same switch semantics as
+    # tcn_train_impl: stage-fused Pallas kernels on the chunked
+    # space-to-depth layout (banded-matmul convs, Dropout2d masks,
+    # act_h=False residual join)
+    conv_train_impl: str = "xla"
     # conv-stack lowering in the flax module: 'taps' = plain [B,H,W,C]
     # tap matmuls (default — measured 3.2 ms/step fwd+bwd at batch 256 on
     # v5e), 'chunked' = space-to-depth banded matmuls (ops/chunked.py;

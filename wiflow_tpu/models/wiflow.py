@@ -307,8 +307,11 @@ class ConvBlock(nn.Module):
         return w1, b1, w2, b2, w3, b3, wd
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool,
+                 fused: tuple | None = None) -> jax.Array:
         w1, b1, w2, b2, w3, b3, wd = self._params()
+        if fused is not None:
+            return self._fused_stage(x, (w1, b1, w2, b2, w3, b3, wd), fused)
         if self.plan is not None:
             return self._chunked(x, (w1, b1, w2, b2, w3, b3, wd), train)
 
@@ -330,6 +333,77 @@ class ConvBlock(nn.Module):
         out = TorchBatchNorm(self.n_out, name="bn3")(out, train=train)
 
         return silu(out + identity)
+
+    def _fused_stage(self, xb: jax.Array, params, fused) -> jax.Array:
+        """Stage-fused train path on chunked ``[ng, C*S, n*Nb]`` blocks.
+
+        The conv-stack analog of TCNLevel._fused_blocks: rows are
+        (channel, w_in_chunk) in the space-to-depth layout of
+        ops/chunked.py, every (1,3)/1x1 conv is one banded matmul
+        (expand_banded) inside a stage kernel that also emits the next
+        BN's partials, and the block tail (bn3 + shortcut-BN + add +
+        SiLU) is the act_h=False join."""
+        from wiflow_tpu.ops.chunked import expand_banded
+        from wiflow_tpu.ops.pallas.stage_fused import join, stage
+
+        blk, nbv, hh, interpret = fused
+        w1, b1, w2, b2, w3, b3, wd = params
+        s_in, s_out, cs = blk["s_in"], blk["s_out"], blk["cs"]
+        n_out = blk["n_out"]
+        stride = self.stride_w
+        co = self.n_out
+        dtype = xb.dtype
+        ng = xb.shape[0]
+        count = ng * n_out * nbv * s_out        # B * H * W_out
+        keep = 1.0 - self.dropout
+
+        def expand(w, b, k, strd, si, so):
+            wm, _ = expand_banded(
+                w, jnp.zeros((w.shape[-1],), w.dtype), k, strd, si, so)
+            return wm, (None if b is None else jnp.repeat(b, so))
+
+        def bnv(name, psum, psumsq):
+            mean = psum.reshape(co, s_out).sum(1) / count
+            var = psumsq.reshape(co, s_out).sum(1) / count - jnp.square(mean)
+            m, a, b_ = TorchBatchNorm(co, name=name)(
+                None, train=True, moments=(mean, var, count), dtype=dtype)
+            return (jnp.repeat(m, s_out), jnp.repeat(a, s_out),
+                    jnp.repeat(b_, s_out))
+
+        def mask2d():
+            # Dropout2d: one keep-bit per (sample, channel), shared over
+            # (H, W) (ref convnet.py:15,20) — broadcast over the
+            # w_in_chunk rows and chunk lanes
+            if self.dropout <= 0.0:
+                return None
+            bsz = ng * nbv // hh
+            m = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                     (bsz, co))
+            m_r = jnp.repeat(m, hh, axis=0)                  # [R, co]
+            m_t = m_r.reshape(ng, nbv, co).transpose(0, 2, 1)
+            full = jnp.broadcast_to(m_t[:, :, None, None, :],
+                                    (ng, co, s_out, n_out, nbv))
+            return full.reshape(ng, co * s_out, n_out * nbv)
+
+        seg1 = "sym3" if cs == 1 else f"chunk3:{cs}"
+        nseg_d = max(1, (stride * s_out) // s_in)
+        segd = "identity" if nseg_d == 1 else f"chunk1:{cs}"
+        st = functools.partial(stage, nb=nbv, keep=keep, interpret=interpret)
+
+        w1m, b1m = expand(w1, b1, 3, stride, s_in, s_out)
+        h1, a, q = st(xb, None, None, None, None, w1m, b1m, seg=seg1)
+        m1, s1, t1 = bnv("bn1", a, q)
+        w2m, b2m = expand(w2, b2, 3, 1, s_out, s_out)
+        h2, a, q = st(h1, m1, s1, t1, mask2d(), w2m, b2m, seg="sym3")
+        m2, s2, t2 = bnv("bn2", a, q)
+        w3m, b3m = expand(w3, b3, 3, 1, s_out, s_out)
+        h3, a, q = st(h2, m2, s2, t2, mask2d(), w3m, b3m, seg="sym3")
+        m3, s3, t3 = bnv("bn3", a, q)
+        wdm, _ = expand(wd, None, 1, stride, s_in, s_out)
+        resb, a, q = st(xb, None, None, None, None, wdm, None, seg=segd)
+        mr, sr, tr = bnv("downsample_bn", a, q)
+        return join(h3, m3, s3, t3, None, resb, mr, sr, tr, keep=keep,
+                    interpret=interpret, act_h=False)
 
     def _chunked(self, x: jax.Array, params, train: bool) -> jax.Array:
         from wiflow_tpu.ops.chunked import chunked_conv
@@ -644,6 +718,25 @@ class WiFlowPoseModel(nn.Module):
     config: ModelConfig = ModelConfig()
 
     @staticmethod
+    def _conv_plan_dicts(cfg: ModelConfig):
+        """Dict chunk plans for the stage-fused conv stack, or None when
+        the schedule can't tile the width chain exactly."""
+        from wiflow_tpu.ops.chunked import plan_for
+        w0 = cfg.tcn_channels[-1]
+        try:
+            plans = plan_for(cfg.conv_channels, w0=w0)
+        except AssertionError:
+            return None
+        w = w0
+        ok = True
+        for p in plans:
+            ok &= p["s_in"] * p["n_in"] == w
+            w = (w + 1) // 2 if p["stride"] == 2 else w
+            ok &= p["s_out"] * p["n_out"] == w
+        ok &= plans[-1]["s_out"] == 1
+        return plans if ok else None
+
+    @staticmethod
     def _chunk_plans(cfg: ModelConfig):
         """Chunk plans for the conv stack, or None for the taps path.
 
@@ -721,29 +814,70 @@ class WiFlowPoseModel(nn.Module):
 
             # 2-D map: H = time (20), W = TCN features (240), C = 1
             # (ref: pose_model.py:79 builds [B, 1, 20, 240])
-            plans = self._chunk_plans(cfg)
-            if plans is not None:
-                from wiflow_tpu.ops.chunked import to_chunked
-                # chunked layout: [B, 20, n0, S0] (C=1, minor=w_in_chunk)
-                x = to_chunked(x, plans[0][0])
+            b_, t_ = x.shape[0], x.shape[1]
+            r_rows = b_ * t_
+            fused_cv = None
+            if (train and cfg.conv_train_impl != "xla"
+                    and (cfg.conv_train_impl == "fused"
+                         or (cfg.conv_train_impl == "auto"
+                             and jax.default_backend() == "tpu"))):
+                dplans = self._conv_plan_dicts(cfg)
+                nbv = next((c for c in (64, 32, 16, 8)
+                            if r_rows % c == 0), None)
+                if dplans is not None and nbv is not None:
+                    fused_cv = (dplans, nbv,
+                                jax.default_backend() != "tpu")
+
+            if fused_cv is not None:
+                # stage-fused train path (ops/pallas/stage_fused.py) on
+                # [ng, C*S, n*Nb] blocks: rows (c, w_in_chunk), lanes
+                # (chunk, B*H row)
+                dplans, nbv, interp = fused_cv
+                ngc = r_rows // nbv
+                s0, n0 = dplans[0]["s_in"], dplans[0]["n_in"]
+                xb = x.reshape(r_rows, n0 * s0)
+                xb = xb.reshape(ngc, nbv, n0, s0).transpose(0, 3, 2, 1)
+                xb = xb.reshape(ngc, s0, n0 * nbv)
+                xb = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
+                               dropout=cfg.conv_dropout, name="up")(
+                    xb, train=train, fused=(dplans[0], nbv, t_, interp))
+                n_in = cfg.conv_channels[0]
+                for j, n_out in enumerate(cfg.conv_channels):
+                    xb = ConvBlock(n_in, n_out, stride_w=2,
+                                   dropout=cfg.conv_dropout,
+                                   name=f"residual_blocks_{j}")(
+                        xb, train=train,
+                        fused=(dplans[j + 1], nbv, t_, interp))
+                    n_in = n_out
+                c_last = cfg.conv_channels[-1]
+                n_last = dplans[-1]["n_out"]          # s_out == 1
+                x = xb.reshape(ngc, c_last, n_last, nbv)
+                x = x.transpose(0, 3, 1, 2).reshape(r_rows, c_last, n_last)
+                x = x.reshape(b_, t_, c_last, n_last).transpose(0, 1, 3, 2)
             else:
-                x = x[..., None]                # [B, 20, 240, 1]
+                plans = self._chunk_plans(cfg)
+                if plans is not None:
+                    from wiflow_tpu.ops.chunked import to_chunked
+                    # chunked layout: [B, 20, n0, S0] (C=1, minor=w_in_chunk)
+                    x = to_chunked(x, plans[0][0])
+                else:
+                    x = x[..., None]                # [B, 20, 240, 1]
 
-            def plan_of(i):
-                return None if plans is None else plans[i]
+                def plan_of(i):
+                    return None if plans is None else plans[i]
 
-            x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
-                          dropout=cfg.conv_dropout, plan=plan_of(0),
-                          name="up")(x, train=train)
-            n_in = cfg.conv_channels[0]
-            for j, n_out in enumerate(cfg.conv_channels):
-                x = ConvBlock(n_in, n_out, stride_w=2,
-                              dropout=cfg.conv_dropout, plan=plan_of(j + 1),
-                              name=f"residual_blocks_{j}")(x, train=train)
-                n_in = n_out
-            if plans is not None:
-                # last plan ends at S=1 -> already plain [B, 20, 15, C]
-                assert plans[-1][1] == 1, plans[-1]
+                x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
+                              dropout=cfg.conv_dropout, plan=plan_of(0),
+                              name="up")(x, train=train)
+                n_in = cfg.conv_channels[0]
+                for j, n_out in enumerate(cfg.conv_channels):
+                    x = ConvBlock(n_in, n_out, stride_w=2,
+                                  dropout=cfg.conv_dropout, plan=plan_of(j + 1),
+                                  name=f"residual_blocks_{j}")(x, train=train)
+                    n_in = n_out
+                if plans is not None:
+                    # last plan ends at S=1 -> already plain [B, 20, 15, C]
+                    assert plans[-1][1] == 1, plans[-1]
         # [B, 20, 15, 64] -> [B, H=15, W=20, C=64]  (ref: pose_model.py:87)
         x = jnp.transpose(x, (0, 2, 1, 3))
 

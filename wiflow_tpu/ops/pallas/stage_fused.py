@@ -53,32 +53,101 @@ from jax.experimental.pallas import tpu as pltpu
 def _segments(x2d: jax.Array, seg: str, dil: int, t: int, nb: int):
     """Lane-sliced input views matching the packed weight's row blocks.
 
-    ``'identity'``: one segment (pointwise / 1x1 conv).
+    ``'identity'``: one segment (pointwise / 1x1 conv; a strided 1x1
+    with s_out = s_in/stride is also one segment — the stride lives in
+    the banded weight, ops/chunked.expand_banded).
     ``'causal3'``: three dilated causal taps — tap j reads time
     ``tt - (2-j)*dil`` (zero before t=0), i.e. lane slices of a
     ``2*dil*nb``-front-padded copy (ref tcn.py:6-12 pad+chomp).
+    ``'sym3'``: three symmetric (pad 1 chunk each side) taps over the
+    chunk axis — the (1,3) conv of the conv stack in the space-to-depth
+    layout with cs == 1 (ref convnet.py:11-17; ops/pallas/conv_stack.py
+    _chunk_segs).
+    ``'chunk3:<cs>'``: like sym3 but every cs-th chunk — the stride-2
+    (1,3) conv where chunk pairs fold into the sublane axis.
+    ``'chunk1:<cs>'``: k=1 downsample taking every cs-th chunk.
     """
     if seg == "identity":
         return [x2d]
-    assert seg == "causal3", seg
-    c = x2d.shape[0]
-    zeros = jnp.zeros((c, 2 * dil * nb), x2d.dtype)
-    xp = jnp.concatenate([zeros, x2d], axis=1)
-    return [xp[:, j * dil * nb:(j * dil + t) * nb] for j in range(3)]
+    rows, l = x2d.shape
+    n = l // nb
+    if seg == "causal3":
+        zeros = jnp.zeros((rows, 2 * dil * nb), x2d.dtype)
+        xp = jnp.concatenate([zeros, x2d], axis=1)
+        return [xp[:, j * dil * nb:(j * dil + t) * nb] for j in range(3)]
+    if seg == "sym3":
+        zeros = jnp.zeros((rows, nb), x2d.dtype)
+        xp = jnp.concatenate([zeros, x2d, zeros], axis=1)
+        return [xp[:, j * nb:(j + n) * nb] for j in range(3)]
+    kind, cs = seg.split(":")
+    cs = int(cs)
+    n_out = n // cs
+    if kind == "chunk3":
+        zeros = jnp.zeros((rows, nb), x2d.dtype)
+        xp = jnp.concatenate([zeros, x2d, zeros], axis=1)
+        segs = []
+        for j in range(3):
+            s = xp[:, j * nb:(j + cs * n_out) * nb]
+            s = s.reshape(rows, n_out, cs * nb)[:, :, :nb]
+            segs.append(s.reshape(rows, n_out * nb))
+        return segs
+    assert kind == "chunk1", seg
+    xr = x2d.reshape(rows, n_out, cs * nb)
+    return [xr[:, :, j * nb:(j + 1) * nb].reshape(rows, n_out * nb)
+            for j in range(cs)]
 
 
-def _segments_t(gsegs, seg: str, dil: int, t: int, nb: int):
+def _segments_t(gsegs, seg: str, dil: int, t: int, nb: int, l_in: int):
     """Transpose of :func:`_segments`: scatter per-tap grads back to x."""
     if seg == "identity":
         (g,) = gsegs
         return g
-    c = gsegs[0].shape[0]
-    gx = gsegs[2]                                    # tap 2 is aligned
-    for j, sh in ((1, dil), (0, 2 * dil)):
-        head = gsegs[j][:, sh * nb:]
-        pad = jnp.zeros((c, sh * nb), head.dtype)
-        gx = gx + jnp.concatenate([head, pad], axis=1)
-    return gx
+    rows = gsegs[0].shape[0]
+    dt = gsegs[0].dtype
+    if seg == "causal3":
+        gx = gsegs[2]                                # tap 2 is aligned
+        for j, sh in ((1, dil), (0, 2 * dil)):
+            head = gsegs[j][:, sh * nb:]
+            pad = jnp.zeros((rows, sh * nb), dt)
+            gx = gx + jnp.concatenate([head, pad], axis=1)
+        return gx
+    if seg == "sym3":
+        # x chunk c receives tap j's grad at seg position c + 1 - j
+        pad = jnp.zeros((rows, nb), dt)
+        gx = gsegs[1]
+        gx = gx + jnp.concatenate([gsegs[0][:, nb:], pad], axis=1)
+        gx = gx + jnp.concatenate([pad, gsegs[2][:, :-nb]], axis=1)
+        return gx
+    kind, cs = seg.split(":")
+    cs = int(cs)
+    n_in = l_in // nb
+    n_out = n_in // cs
+    if kind == "chunk3":
+        # seg_j output chunk o sits at padded-x chunk j + cs*o
+        gxp = jnp.zeros((rows, (n_in + 2) * nb), dt)
+        for j in range(3):
+            gi = gsegs[j].reshape(rows, n_out, 1, nb)
+            gi = jnp.concatenate(
+                [gi, jnp.zeros((rows, n_out, cs - 1, nb), dt)], axis=2)
+            gi = gi.reshape(rows, cs * n_out * nb)
+            left = jnp.zeros((rows, j * nb), dt)
+            right = jnp.zeros((rows, (n_in + 2 - j - cs * n_out) * nb), dt)
+            gxp = gxp + jnp.concatenate([left, gi, right], axis=1)
+        return gxp[:, nb:(n_in + 1) * nb]
+    assert kind == "chunk1", seg
+    gi = jnp.stack([g.reshape(rows, n_out, nb) for g in gsegs], axis=2)
+    return gi.reshape(rows, n_in * nb)
+
+
+def _seg_info(seg: str):
+    """(n_segments, lane-compression cs) for a segment kind."""
+    if seg == "identity":
+        return 1, 1
+    if seg in ("causal3", "sym3"):
+        return 3, 1
+    kind, cs = seg.split(":")
+    cs = int(cs)
+    return (3, cs) if kind == "chunk3" else (cs, cs)
 
 
 # ---------------------------------------------------------------------------
@@ -194,12 +263,13 @@ def _bwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
     gxcat = jax.lax.dot_general(
         w_ref[...].astype(dtype), gof, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [R, L]
-    if seg == "identity":
-        gad = gxcat
+    nseg, _ = _seg_info(seg)
+    if nseg == 1:
+        gad = _segments_t([gxcat], seg, dil, t, nb, x.shape[1])
     else:
-        r = gxcat.shape[0] // 3
-        gad = _segments_t([gxcat[j * r:(j + 1) * r] for j in range(3)],
-                          seg, dil, t, nb)
+        r = gxcat.shape[0] // nseg
+        gad = _segments_t([gxcat[j * r:(j + 1) * r] for j in range(nseg)],
+                          seg, dil, t, nb, x.shape[1])
 
     if mask is not None:
         gad = jnp.where(mask, gad / keep, jnp.zeros_like(gad))
@@ -283,6 +353,7 @@ def fused_stage(xb, mean, scale, shift, mask, w, bias,
 def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
                 keep, emit_stats, interpret):
     ng, ci, l = xb.shape
+    l_out = l // _seg_info(seg)[1]
     co = w.shape[1]
     dtype = xb.dtype
     has_prologue = scale is not None
@@ -312,8 +383,8 @@ def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
     if has_bias:
         _vec(bias)
 
-    out_shapes = [jax.ShapeDtypeStruct((ng, co, l), dtype)]
-    out_specs = [pl.BlockSpec((1, co, l), lambda i: (i, 0, 0),
+    out_shapes = [jax.ShapeDtypeStruct((ng, co, l_out), dtype)]
+    out_specs = [pl.BlockSpec((1, co, l_out), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     if emit_stats:
         for _ in range(2):
@@ -349,6 +420,7 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
     xb, mean, scale, shift, mask, w, bias, out = res
     g_out, g_ps, g_pq = cts
     ng, ci, l = xb.shape
+    l_out = l // _seg_info(seg)[1]
     co = w.shape[1]
     dtype = xb.dtype
     has_prologue = scale is not None
@@ -376,10 +448,10 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
     in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(out)
-    in_specs.append(pl.BlockSpec((1, co, l), lambda i: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((1, co, l_out), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(g_out)
-    in_specs.append(pl.BlockSpec((1, co, l), lambda i: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((1, co, l_out), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     if emit_stats:
         for g in (g_ps, g_pq):
@@ -451,7 +523,7 @@ def stage(xb, mean, scale, shift, mask, w, bias, *, seg="identity", dil=1,
 
 
 def _join_fwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
-                     dtype):
+                     act_h: bool, dtype):
     it = iter(refs)
     h_ref = next(it)
     mh_ref = next(it)
@@ -465,9 +537,11 @@ def _join_fwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
     out_ref = next(it)
 
     h = h_ref[0].astype(dtype)
-    a = jax.nn.silu((h - mh_ref[...].astype(dtype)[:, :1])
-                    * sh_ref[...].astype(dtype)[:, :1]
-                    + th_ref[...].astype(dtype)[:, :1]).astype(dtype)
+    a = (h - mh_ref[...].astype(dtype)[:, :1]) \
+        * sh_ref[...].astype(dtype)[:, :1] \
+        + th_ref[...].astype(dtype)[:, :1]
+    if act_h:
+        a = jax.nn.silu(a).astype(dtype)
     if mask_ref is not None:
         a = jnp.where(mask_ref[0], a / keep, jnp.zeros_like(a))
     r = r_ref[0].astype(dtype)
@@ -479,7 +553,7 @@ def _join_fwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
 
 
 def _join_bwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
-                     dtype):
+                     act_h: bool, dtype):
     it = iter(refs)
     h_ref = next(it)
     mh_ref = next(it)
@@ -504,8 +578,11 @@ def _join_bwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
     sh_col = sh_ref[...].astype(dtype)[:, :1]
     uh = (h - mh_ref[...].astype(dtype)[:, :1]) * sh_col \
         + th_ref[...].astype(dtype)[:, :1]
-    sig_h = jax.nn.sigmoid(uh.astype(jnp.float32))
-    a = (uh.astype(jnp.float32) * sig_h).astype(dtype)
+    if act_h:
+        sig_h = jax.nn.sigmoid(uh.astype(jnp.float32))
+        a = (uh.astype(jnp.float32) * sig_h).astype(dtype)
+    else:
+        a = uh
     mask = mask_ref[0] if mask_ref is not None else None
     ad = a if mask is None else jnp.where(mask, a / keep, jnp.zeros_like(a))
     r = r_ref[0].astype(dtype)
@@ -530,7 +607,10 @@ def _join_bwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
     # main branch
     ga = gv if mask is None else jnp.where(mask, gv / keep,
                                            jnp.zeros_like(gv))
-    guh = ga * sig_h * (1.0 + uh.astype(jnp.float32) * (1.0 - sig_h))
+    if act_h:
+        guh = ga * sig_h * (1.0 + uh.astype(jnp.float32) * (1.0 - sig_h))
+    else:
+        guh = ga
     gh_ref[0] = (guh * sh_col.astype(jnp.float32)).astype(gh_ref.dtype)
     gah = jnp.sum(guh * h.astype(jnp.float32), axis=1, keepdims=True)
     gth = jnp.sum(guh, axis=1, keepdims=True)
@@ -552,12 +632,15 @@ def _join_bwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
             gtr_ref[...] += gtr
 
 
-def join_ref(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r, *, keep: float):
+def join_ref(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r, *, keep: float,
+             act_h: bool = True):
     """Plain-XLA join, numerically the module path's composition."""
     dtype = hb.dtype
-    a = jax.nn.silu((hb - m_h.astype(dtype)[None, :, None])
-                    * s_h.astype(dtype)[None, :, None]
-                    + t_h.astype(dtype)[None, :, None]).astype(dtype)
+    a = (hb - m_h.astype(dtype)[None, :, None]) \
+        * s_h.astype(dtype)[None, :, None] \
+        + t_h.astype(dtype)[None, :, None]
+    if act_h:
+        a = jax.nn.silu(a).astype(dtype)
     if mask is not None:
         a = jnp.where(mask, a / keep, jnp.zeros_like(a))
     r = resb
@@ -568,11 +651,11 @@ def join_ref(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r, *, keep: float):
     return jax.nn.silu(a + r).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def fused_join(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r,
-               keep, interpret):
+               keep, interpret, act_h):
     out, _ = _join_fwd(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r,
-                       keep, interpret)
+                       keep, interpret, act_h)
     return out
 
 
@@ -605,13 +688,13 @@ def _join_specs(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r):
 
 
 def _join_fwd(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r, keep,
-              interpret):
+              interpret, act_h=True):
     ng, c, l = hb.shape
     operands, in_specs = _join_specs(hb, m_h, s_h, t_h, mask, resb,
                                      m_r, s_r, t_r)
     kern = functools.partial(
         _join_fwd_kernel, keep=keep, has_mask=mask is not None,
-        has_res_norm=s_r is not None, dtype=hb.dtype)
+        has_res_norm=s_r is not None, act_h=act_h, dtype=hb.dtype)
     out = pl.pallas_call(
         kern, grid=(ng,), in_specs=in_specs,
         out_specs=pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
@@ -621,7 +704,7 @@ def _join_fwd(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r, keep,
     return out, (hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r)
 
 
-def _join_bwd(keep, interpret, res, g_out):
+def _join_bwd(keep, interpret, act_h, res, g_out):
     hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r = res
     ng, c, l = hb.shape
     has_res_norm = s_r is not None
@@ -651,7 +734,7 @@ def _join_bwd(keep, interpret, res, g_out):
 
     kern = functools.partial(
         _join_bwd_kernel, keep=keep, has_mask=mask is not None,
-        has_res_norm=has_res_norm, dtype=hb.dtype)
+        has_res_norm=has_res_norm, act_h=act_h, dtype=hb.dtype)
     res_b = pl.pallas_call(
         kern, grid=(ng,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret)(*operands)
@@ -682,6 +765,6 @@ fused_join.defvjp(_join_fwd, _join_bwd)
 
 
 def join(hb, m_h, s_h, t_h, mask, resb, m_r=None, s_r=None, t_r=None,
-         *, keep=1.0, interpret=False):
+         *, keep=1.0, interpret=False, act_h=True):
     return fused_join(hb, m_h, s_h, t_h, mask, resb, m_r, s_r, t_r,
-                      keep, interpret)
+                      keep, interpret, act_h)
