@@ -223,8 +223,14 @@ def test_fused_conv_stack_matches_xla_path():
     mx, mf = mk("xla"), mk("fused")
     v = jax.jit(functools.partial(mx.init, train=False))(
         {"params": jax.random.key(0)}, x)
-    yx, sx = mx.apply(v, x, train=True, mutable=["batch_stats"])
-    yf, sf = mf.apply(v, x, train=True, mutable=["batch_stats"])
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def fwd(v, which):
+        m = mx if which == "xla" else mf
+        return m.apply(v, x, train=True, mutable=["batch_stats"])
+
+    yx, sx = fwd(v, "xla")
+    yf, sf = fwd(v, "fused")
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
                                rtol=1e-4, atol=1e-4)
     fx = {jax.tree_util.keystr(k): a for k, a in
@@ -274,6 +280,7 @@ def test_fused_conv_stack_dropout2d_mask_structure():
     v = jax.jit(functools.partial(m.init, train=False))(
         {"params": jax.random.key(0)}, x)
 
+    @jax.jit
     def run(seed):
         y, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
                        rngs={"dropout": jax.random.key(seed)})
