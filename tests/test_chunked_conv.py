@@ -82,6 +82,7 @@ def test_chunked_train_matches_taps_with_dropout(x):
                                    rtol=2e-5, atol=2e-5, err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_chunked_gradients_match_taps(x):
     taps, chunked = _mk("taps"), _mk("chunked")
     v = jax.jit(functools.partial(taps.init, train=False))(

@@ -118,6 +118,7 @@ def test_fused_tcn_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fast_forward_mmfi_matches_module():
     """MM-Fi serving path == WiFlowMMFiModel in eval mode (interpret)."""
     import dataclasses

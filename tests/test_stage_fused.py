@@ -132,6 +132,7 @@ def test_join_matches_reference(has_mask, has_rn, act_h):
                                    rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_fused_tcn_stack_matches_xla_path():
     """TCNStack(train_impl='fused') == 'xla': fwd, batch_stats, grads.
 
@@ -204,6 +205,7 @@ def test_fused_tcn_dropout_masks_behave():
     assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-4
 
 
+@pytest.mark.slow
 def test_fused_conv_stack_matches_xla_path():
     """WiFlowPoseModel with conv_train_impl='fused' == 'xla' (fwd,
     batch_stats, grads) at f32, conv_dropout 0.
@@ -274,9 +276,11 @@ def test_fused_conv_stack_dropout2d_mask_structure():
     from wiflow_tpu.models.wiflow import WiFlowPoseModel
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((8, 540, 20)), jnp.float32)
-    m = WiFlowPoseModel(ModelConfig(conv_train_impl="fused",
-                                    tcn_train_impl="fused"))
+    x = jnp.asarray(rng.standard_normal((8, 60, 20)), jnp.float32)
+    m = WiFlowPoseModel(ModelConfig(
+        conv_train_impl="fused", tcn_train_impl="fused",
+        num_subcarriers=60, tcn_channels=(60, 40),
+        conv_channels=(8, 16, 32), num_keypoints=5))
     v = jax.jit(functools.partial(m.init, train=False))(
         {"params": jax.random.key(0)}, x)
 
@@ -291,3 +295,62 @@ def test_fused_conv_stack_dropout2d_mask_structure():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
     assert float(jnp.max(jnp.abs(y1.astype(jnp.float32)
                                  - y2.astype(jnp.float32)))) > 1e-4
+
+
+def test_fused_full_model_small_matches_xla():
+    """Default-batch integration parity at small scale: both fused paths
+    (TCN + conv stack) vs XLA through the whole model — layout
+    conversions, BN moments plumbing, join tails. The full-size variant
+    (all chunk geometries) runs in the slow batch; the chunk kernels
+    themselves are unit-tested above."""
+    import functools
+    from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.models.wiflow import WiFlowPoseModel
+
+    small = dict(num_subcarriers=60, window_size=20,
+                 tcn_channels=(60, 40), conv_channels=(8, 16, 32),
+                 num_keypoints=5, conv_dropout=0.0, dropout=0.0,
+                 compute_dtype="float32")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 60, 20)), jnp.float32)
+    mk = lambda impl: WiFlowPoseModel(ModelConfig(
+        tcn_train_impl=impl, conv_train_impl=impl, **small))
+    mx, mf = mk("xla"), mk("fused")
+    v = jax.jit(functools.partial(mx.init, train=False))(
+        {"params": jax.random.key(0)}, x)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def fwd(v, which):
+        m = mx if which == "xla" else mf
+        return m.apply(v, x, train=True, mutable=["batch_stats"])
+
+    yx, sx = fwd(v, "xla")
+    yf, sf = fwd(v, "fused")
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
+                               rtol=1e-4, atol=1e-4)
+    fx = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sx["batch_stats"])}
+    ff = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sf["batch_stats"])}
+    for k in fx:
+        np.testing.assert_allclose(np.asarray(ff[k]), np.asarray(fx[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    gv = jnp.asarray(rng.standard_normal((8, 5, 2)), jnp.float32)
+
+    def loss(p, m):
+        y, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                       train=True, mutable=["batch_stats"])
+        return jnp.sum(y * gv)
+
+    gx = jax.jit(lambda p: jax.grad(loss)(p, mx))(v["params"])
+    gf = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(
+              jax.jit(lambda p: jax.grad(loss)(p, mf))(v["params"]))}
+    for k, a in jax.tree_util.tree_leaves_with_path(gx):
+        k = jax.tree_util.keystr(k)
+        a = np.asarray(a, np.float64)
+        e = np.asarray(gf[k], np.float64)
+        diff = np.linalg.norm(e - a)
+        rel = diff / (np.linalg.norm(a) + 1e-4)
+        assert rel < 2e-3 or diff < 1e-3, (k, rel, diff)
