@@ -354,3 +354,58 @@ def test_fused_full_model_small_matches_xla():
         diff = np.linalg.norm(e - a)
         rel = diff / (np.linalg.norm(a) + 1e-4)
         assert rel < 2e-3 or diff < 1e-3, (k, rel, diff)
+
+
+@pytest.mark.slow
+def test_fused_mmfi_model_matches_xla():
+    """WiFlowMMFiModel fused-vs-xla parity (fwd, batch_stats, grads):
+    distinct geometry from the trunk (T=10, w0=272 -> a cs=2 stride
+    block followed by odd chunk counts)."""
+    import dataclasses
+    import functools
+    from wiflow_tpu.models.wiflow_mmfi import MMFiModelConfig, WiFlowMMFiModel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 3, 114, 10)), jnp.float32)
+    mk = lambda impl: WiFlowMMFiModel(dataclasses.replace(
+        MMFiModelConfig(), tcn_train_impl=impl, conv_train_impl=impl,
+        dropout=0.0, conv_dropout=0.0, compute_dtype="float32"))
+    mx, mf = mk("xla"), mk("fused")
+    v = jax.jit(functools.partial(mx.init, train=False))(
+        {"params": jax.random.key(0)}, x)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def fwd(v, which):
+        m = mx if which == "xla" else mf
+        return m.apply(v, x, train=True, mutable=["batch_stats"])
+
+    yx, sx = fwd(v, "xla")
+    yf, sf = fwd(v, "fused")
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
+                               rtol=2e-4, atol=2e-4)
+    fx = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sx["batch_stats"])}
+    ff = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(sf["batch_stats"])}
+    for k in fx:
+        np.testing.assert_allclose(np.asarray(ff[k]), np.asarray(fx[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    gv = jnp.asarray(rng.standard_normal(yx.shape), jnp.float32)
+
+    def loss(p, m):
+        y, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                       train=True, mutable=["batch_stats"])
+        return jnp.sum(y * gv)
+
+    gx = jax.jit(lambda p: jax.grad(loss)(p, mx))(v["params"])
+    gf = {jax.tree_util.keystr(k): a for k, a in
+          jax.tree_util.tree_leaves_with_path(
+              jax.jit(lambda p: jax.grad(loss)(p, mf))(v["params"]))}
+    for k, a in jax.tree_util.tree_leaves_with_path(gx):
+        k = jax.tree_util.keystr(k)
+        a = np.asarray(a, np.float64)
+        e = np.asarray(gf[k], np.float64)
+        diff = np.linalg.norm(e - a)
+        rel = diff / (np.linalg.norm(a) + 1e-4)
+        assert rel < 2e-3 or diff < 1e-3, (k, rel, diff)

@@ -45,6 +45,56 @@ from wiflow_tpu.ops.conv import (
 )
 
 
+def conv_plan_dicts(conv_channels, w0: int):
+    """Dict chunk plans for the stage-fused conv stack, or None when the
+    schedule can't tile the width chain exactly."""
+    from wiflow_tpu.ops.chunked import plan_for
+    try:
+        plans = plan_for(conv_channels, w0=w0)
+    except AssertionError:
+        return None
+    w = w0
+    ok = True
+    for p in plans:
+        ok &= p["s_in"] * p["n_in"] == w
+        w = (w + 1) // 2 if p["stride"] == 2 else w
+        ok &= p["s_out"] * p["n_out"] == w
+    ok &= plans[-1]["s_out"] == 1
+    return plans if ok else None
+
+
+def run_fused_conv_stack(x, *, conv_channels, conv_dropout, dplans, nbv,
+                         interp, train):
+    """Run the up + residual_blocks stack through the stage-fused train
+    path (ops/pallas/stage_fused.py) on ``[ng, C*S, n*Nb]`` blocks —
+    rows (c, w_in_chunk), lanes (chunk, B*H row).
+
+    ``x``: ``[B, H, W0]``; returns ``[B, H, n_last, C_last]``.  Must be
+    called from a parent module's compact ``__call__`` (the ConvBlock
+    submodules bind to the caller's scope under the standard names)."""
+    b_, t_ = x.shape[0], x.shape[1]
+    r_rows = b_ * t_
+    ngc = r_rows // nbv
+    s0, n0 = dplans[0]["s_in"], dplans[0]["n_in"]
+    xb = x.reshape(r_rows, n0 * s0)
+    xb = xb.reshape(ngc, nbv, n0, s0).transpose(0, 3, 2, 1)
+    xb = xb.reshape(ngc, s0, n0 * nbv)
+    xb = ConvBlock(1, conv_channels[0], stride_w=1,
+                   dropout=conv_dropout, name="up")(
+        xb, train=train, fused=(dplans[0], nbv, t_, interp))
+    n_in = conv_channels[0]
+    for j, n_out in enumerate(conv_channels):
+        xb = ConvBlock(n_in, n_out, stride_w=2, dropout=conv_dropout,
+                       name=f"residual_blocks_{j}")(
+            xb, train=train, fused=(dplans[j + 1], nbv, t_, interp))
+        n_in = n_out
+    c_last = conv_channels[-1]
+    n_last = dplans[-1]["n_out"]                      # s_out == 1
+    x = xb.reshape(ngc, c_last, n_last, nbv)
+    x = x.transpose(0, 3, 1, 2).reshape(r_rows, c_last, n_last)
+    return x.reshape(b_, t_, c_last, n_last).transpose(0, 1, 3, 2)
+
+
 class TCNLevel(nn.Module):
     """One dilated grouped temporal block (ref: models/tcn.py:14-74).
 
@@ -719,22 +769,7 @@ class WiFlowPoseModel(nn.Module):
 
     @staticmethod
     def _conv_plan_dicts(cfg: ModelConfig):
-        """Dict chunk plans for the stage-fused conv stack, or None when
-        the schedule can't tile the width chain exactly."""
-        from wiflow_tpu.ops.chunked import plan_for
-        w0 = cfg.tcn_channels[-1]
-        try:
-            plans = plan_for(cfg.conv_channels, w0=w0)
-        except AssertionError:
-            return None
-        w = w0
-        ok = True
-        for p in plans:
-            ok &= p["s_in"] * p["n_in"] == w
-            w = (w + 1) // 2 if p["stride"] == 2 else w
-            ok &= p["s_out"] * p["n_out"] == w
-        ok &= plans[-1]["s_out"] == 1
-        return plans if ok else None
+        return conv_plan_dicts(cfg.conv_channels, cfg.tcn_channels[-1])
 
     @staticmethod
     def _chunk_plans(cfg: ModelConfig):
@@ -829,31 +864,11 @@ class WiFlowPoseModel(nn.Module):
                                 jax.default_backend() != "tpu")
 
             if fused_cv is not None:
-                # stage-fused train path (ops/pallas/stage_fused.py) on
-                # [ng, C*S, n*Nb] blocks: rows (c, w_in_chunk), lanes
-                # (chunk, B*H row)
                 dplans, nbv, interp = fused_cv
-                ngc = r_rows // nbv
-                s0, n0 = dplans[0]["s_in"], dplans[0]["n_in"]
-                xb = x.reshape(r_rows, n0 * s0)
-                xb = xb.reshape(ngc, nbv, n0, s0).transpose(0, 3, 2, 1)
-                xb = xb.reshape(ngc, s0, n0 * nbv)
-                xb = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
-                               dropout=cfg.conv_dropout, name="up")(
-                    xb, train=train, fused=(dplans[0], nbv, t_, interp))
-                n_in = cfg.conv_channels[0]
-                for j, n_out in enumerate(cfg.conv_channels):
-                    xb = ConvBlock(n_in, n_out, stride_w=2,
-                                   dropout=cfg.conv_dropout,
-                                   name=f"residual_blocks_{j}")(
-                        xb, train=train,
-                        fused=(dplans[j + 1], nbv, t_, interp))
-                    n_in = n_out
-                c_last = cfg.conv_channels[-1]
-                n_last = dplans[-1]["n_out"]          # s_out == 1
-                x = xb.reshape(ngc, c_last, n_last, nbv)
-                x = x.transpose(0, 3, 1, 2).reshape(r_rows, c_last, n_last)
-                x = x.reshape(b_, t_, c_last, n_last).transpose(0, 1, 3, 2)
+                x = run_fused_conv_stack(
+                    x, conv_channels=tuple(cfg.conv_channels),
+                    conv_dropout=cfg.conv_dropout, dplans=dplans,
+                    nbv=nbv, interp=interp, train=train)
             else:
                 plans = self._chunk_plans(cfg)
                 if plans is not None:

@@ -48,6 +48,10 @@ class MMFiModelConfig:
     compute_dtype: str = "bfloat16"
     tcn_matmul: str = "block_diag"           # see ModelConfig.tcn_matmul
     attention_module_impl: str = "auto"      # see ModelConfig
+    # stage-fused train-path lowering switches (see ModelConfig; default
+    # 'xla' until the fused path is chip-verified)
+    tcn_train_impl: str = "xla"
+    conv_train_impl: str = "xla"
 
     @property
     def input_channels(self) -> int:
@@ -81,6 +85,7 @@ class WiFlowMMFiModel(nn.Module):
             groups=cfg.tcn_groups,
             dropout=cfg.dropout,
             matmul_impl=cfg.tcn_matmul,
+            train_impl=cfg.tcn_train_impl,
             name="tcn",
         )(x, train=train)                                  # [B, 10, 288]
 
@@ -93,14 +98,37 @@ class WiFlowMMFiModel(nn.Module):
             x, train=train)
         x = silu(x)                                        # [B, 10, 272]
 
-        x = x[..., None]                                   # [B, 10, 272, 1]
-        x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
-                      dropout=cfg.conv_dropout, name="up")(x, train=train)
-        n_in = cfg.conv_channels[0]
-        for j, n_out in enumerate(cfg.conv_channels):
-            x = ConvBlock(n_in, n_out, stride_w=2, dropout=cfg.conv_dropout,
-                          name=f"residual_blocks_{j}")(x, train=train)
-            n_in = n_out
+        fused_cv = None
+        if (train and cfg.conv_train_impl != "xla"
+                and (cfg.conv_train_impl == "fused"
+                     or (cfg.conv_train_impl == "auto"
+                         and jax.default_backend() == "tpu"))):
+            from wiflow_tpu.models.wiflow import (
+                conv_plan_dicts, run_fused_conv_stack)
+            dplans = conv_plan_dicts(tuple(cfg.conv_channels),
+                                     cfg.tcn_proj_channels)
+            r_rows = b * cfg.window_size
+            nbv = next((c for c in (64, 32, 16, 8) if r_rows % c == 0),
+                       None)
+            if dplans is not None and nbv is not None:
+                fused_cv = (dplans, nbv, jax.default_backend() != "tpu")
+
+        if fused_cv is not None:
+            dplans, nbv, interp = fused_cv
+            x = run_fused_conv_stack(
+                x, conv_channels=tuple(cfg.conv_channels),
+                conv_dropout=cfg.conv_dropout, dplans=dplans, nbv=nbv,
+                interp=interp, train=train)
+        else:
+            x = x[..., None]                               # [B, 10, 272, 1]
+            x = ConvBlock(1, cfg.conv_channels[0], stride_w=1,
+                          dropout=cfg.conv_dropout, name="up")(x, train=train)
+            n_in = cfg.conv_channels[0]
+            for j, n_out in enumerate(cfg.conv_channels):
+                x = ConvBlock(n_in, n_out, stride_w=2,
+                              dropout=cfg.conv_dropout,
+                              name=f"residual_blocks_{j}")(x, train=train)
+                n_in = n_out
         # [B, 10, 17, 64] -> [B, H=17, W=10, C=64] (ref :518)
         x = jnp.transpose(x, (0, 2, 1, 3))
 
