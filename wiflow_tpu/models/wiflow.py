@@ -264,8 +264,14 @@ class TCNStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        b, t, _ = x.shape
-        nb = next((c for c in (64, 32, 16, 8) if b % c == 0), None)
+        b, t, c0 = x.shape
+        # lane-block size: the level-0 backward holds the 3-tap im2col
+        # and its f32 cotangent (~25 * C * t * nb bytes) in VMEM — cap
+        # nb so the widest level stays under ~12.5 MB of the ~16 MB/core
+        max_c = max(c0, *self.num_channels)
+        nb = next((c for c in (64, 32, 16, 8)
+                   if b % c == 0 and 25 * max_c * t * c <= 12_500_000),
+                  None)
         use_fused = (train and self.kernel_size == 3 and nb is not None
                      and (self.train_impl == "fused"
                           or (self.train_impl == "auto"
