@@ -82,6 +82,7 @@ def test_wpformer_shapes_and_params():
     assert 6e6 < n < 16e6, n
 
 
+@pytest.mark.slow
 def test_performer_attention_unbiasedness():
     """FAVOR+ approximates exact softmax attention (same weights)."""
     from wiflow_tpu.models.baselines.performer import PerformerAttention
