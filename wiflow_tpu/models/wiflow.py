@@ -694,15 +694,34 @@ class DualAxialAttention(nn.Module):
     planes: int
     groups: int = 8
     train_impl: str = "auto"
+    # When True and the fused path runs, the output stays in the
+    # kernels' scrambled channel order — the caller must fold the
+    # inverse permutation into its consumer's weights (see
+    # fused_output_scrambled for the matching predicate).  Kills the
+    # last activation-sized gather (+ its bwd) of the attention chain.
+    fused_keep_scrambled: bool = False
+
+    def fused_output_scrambled(self, train: bool,
+                               initializing: bool) -> bool:
+        """Whether __call__(train=...) will return scrambled channels.
+
+        ``initializing`` must be the CALLER's is_initializing() (the
+        same flax trace, so it matches the child modules' predicate)."""
+        return (self.fused_keep_scrambled and train and not initializing
+                and (self.train_impl == "fused"
+                     or (self.train_impl == "auto"
+                         and jax.default_backend() == "tpu")))
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         # When both modules run fused, the width module hands its output
         # to the height module in the kernels' scrambled channel order
         # (the permutations are folded into params, see AxialAttention);
-        # only the height module unscrambles, once.  Both modules share
-        # the use_fused predicate (same backend / train flag / impl), so
-        # the layouts always agree.
+        # only the height module unscrambles, once — or not at all when
+        # the caller absorbs the permutation (fused_keep_scrambled).
+        # Both modules share the use_fused predicate (same backend /
+        # train flag / impl), so the layouts always agree.
+        keep = self.fused_output_scrambled(train, self.is_initializing())
         x = AxialAttention(self.planes, self.planes, self.groups,
                            width=True, train_impl=self.train_impl,
                            fused_unscramble_output=False,
@@ -710,6 +729,7 @@ class DualAxialAttention(nn.Module):
         x = AxialAttention(self.planes, self.planes, self.groups,
                            width=False, train_impl=self.train_impl,
                            fused_scrambled_input=True,
+                           fused_unscramble_output=not keep,
                            name="height_axis")(x, train=train)
         return x
 
@@ -902,11 +922,16 @@ class WiFlowPoseModel(nn.Module):
         # [B, 20, 15, 64] -> [B, H=15, W=20, C=64]  (ref: pose_model.py:87)
         x = jnp.transpose(x, (0, 2, 1, 3))
 
+        att_scrambled = False
         if cfg.use_attention:   # ablation '- axial attention' (README:248)
-            x = DualAxialAttention(cfg.conv_channels[-1],
-                                   groups=cfg.attention_groups,
-                                   train_impl=cfg.attention_module_impl,
-                                   name="attention")(x, train=train)
+            att = DualAxialAttention(cfg.conv_channels[-1],
+                                     groups=cfg.attention_groups,
+                                     train_impl=cfg.attention_module_impl,
+                                     fused_keep_scrambled=True,
+                                     name="attention")
+            att_scrambled = att.fused_output_scrambled(
+                train, self.is_initializing())
+            x = att(x, train=train)
 
         # decoder (ref: pose_model.py:44-51): 3x3 conv -> BN -> SiLU ->
         # 1x1 conv -> BN -> SiLU
@@ -919,6 +944,14 @@ class WiFlowPoseModel(nn.Module):
         bd2 = self.param("decoder_conv2_bias", torch_bias_default(32),
                          (cfg.keypoint_dims,))
 
+        if att_scrambled:
+            # the fused attention chain left channels in the kernels'
+            # scrambled (cc, g) order — absorb the inverse permutation
+            # into the decoder weight's input rows (a [3,3,C,32] gather)
+            # instead of unscrambling the activation
+            from wiflow_tpu.ops.pallas.axial_attention import scramble_perm
+            perm = scramble_perm(c, cfg.attention_groups)
+            wd1 = wd1[:, :, perm, :]
         x = conv3x3_2d(x, wd1, bd1)
         x = TorchBatchNorm(32, name="decoder_bn1")(x, train=train)
         x = silu(x)
