@@ -631,14 +631,20 @@ class AxialAttention(nn.Module):
                         "out_planes (same scramble on both sides)")
                 w_eff = w_eff[_np.asarray(perm), :]
             w_eff = w_eff[:, _np.asarray(perm3)]
-            qkv = pointwise_conv1d(xr, w_eff)
-            qkv = TorchBatchNorm(self.out_planes * 3, name="bn_qkv",
-                                 perm=tuple(int(i) for i in perm3))(
-                qkv, train=train)
-            q, k, v = jnp.split(qkv, 3, axis=-1)   # [n, L, C] scrambled
-            qT = jnp.transpose(q, (1, 2, 0))
-            kT = jnp.transpose(k, (1, 2, 0))
-            vT = jnp.transpose(v, (1, 2, 0))
+            # produce qkv directly in the kernels' [L, C, N] layout: the
+            # dot's output order does the relayout once, in its epilogue
+            # (previously: dot -> split -> THREE [n,L,C]->[L,C,n]
+            # transposes, each with a backward twin)
+            qkvT = jnp.einsum("nlc,co->lon", xr, w_eff.astype(xr.dtype),
+                              preferred_element_type=jnp.result_type(
+                                  xr.dtype, jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(xr.dtype)
+            qkvT = TorchBatchNorm(self.out_planes * 3, channel_axis=1,
+                                  name="bn_qkv",
+                                  perm=tuple(int(i) for i in perm3))(
+                qkvT, train=train)
+            qT, kT, vT = jnp.split(qkvT, 3, axis=1)   # [L, C, n] scrambled
             interp = jax.default_backend() != "tpu"   # CPU: interpret mode
             moments = logits_moments_fused(qT, kT, self.groups, count,
                                            128, interp)
