@@ -206,7 +206,8 @@ def test_conv1xk_custom_vjp_matches_autodiff(stride, padding, k, bias, ci, co):
         ((wlen + 2 * padding - k) // stride + 1,)).astype(np.float32))
 
     def loss_custom(*args):
-        y = conv1xk_w(*args, stride=stride, padding=padding)
+        y = conv1xk_w(*args, stride=stride, padding=padding,
+                      impl="taps_vjp")
         return jnp.sum(y * g_out[None, None, :, None])
 
     def loss_plain(*args):
@@ -224,7 +225,7 @@ def test_conv1xk_custom_vjp_matches_autodiff(stride, padding, k, bias, ci, co):
 
 def test_conv1x1_s2_custom_vjp_matches_autodiff():
     """Strided-1x1 interleave-with-zeros input grad == autodiff."""
-    from wiflow_tpu.ops.conv import _conv1x1_s2_impl
+    from wiflow_tpu.ops.conv import _conv1x1_s2, _conv1x1_s2_impl
 
     rng = np.random.default_rng(8)
     for wlen in (20, 21):  # even and odd lengths hit both slice tails
@@ -232,7 +233,7 @@ def test_conv1x1_s2_custom_vjp_matches_autodiff():
         w = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
 
         def loss_custom(x, w):
-            return jnp.sum(jnp.sin(conv1x1_2d(x, w, stride_w=2)))
+            return jnp.sum(jnp.sin(_conv1x1_s2(x, w)))
 
         def loss_plain(x, w):
             return jnp.sum(jnp.sin(_conv1x1_s2_impl(x, w)))

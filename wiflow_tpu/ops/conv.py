@@ -293,7 +293,16 @@ def conv1xk_w(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
       ``[B, H, W_out, Co]`` with ``W_out = (W + 2P - K)//s + 1``.
     """
     if impl == "taps":
-        # custom-VJP core: slice-based fwd, pad-free transpose
+        # custom-VJP core: slice-based fwd, pad-free transpose.  The
+        # interleave backward is a TPU win (kills interior-pads) but
+        # measurably SLOWER on XLA:CPU — slow enough to trip the
+        # virtual-mesh rendezvous timeout in the 8-device dryrun — so
+        # off-TPU the plain impl (XLA autodiff) runs instead.
+        if jax.default_backend() == "tpu":
+            return _conv1xk_taps(x, w, b, stride, padding)
+        return _conv1xk_taps_impl(x, w, b, stride, padding)
+    if impl == "taps_vjp":
+        # forced custom-VJP path (grad-parity tests)
         return _conv1xk_taps(x, w, b, stride, padding)
     # impl == "im2col": one [.., K*Ci] x [K*Ci, Co] dot — K x larger
     # contraction dim fills the MXU better when Ci is tiny, but the
@@ -363,7 +372,9 @@ _conv1x1_s2.defvjp(_conv1x1_s2_fwd, _conv1x1_s2_bwd)
 def conv1x1_2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
                *, stride_w: int = 1) -> jax.Array:
     """1x1 Conv2d (optionally strided along W).  ``x [B,H,W,Ci]``, ``w [Ci,Co]``."""
-    if stride_w == 2:
+    if stride_w == 2 and jax.default_backend() == "tpu":
+        # custom VJP (interleave-with-zeros input grad): TPU-only, see
+        # the conv1xk_w 'taps' dispatch note
         y = _conv1x1_s2(x, w)
         if b is not None:
             y = (y + b).astype(x.dtype)

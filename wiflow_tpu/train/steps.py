@@ -222,6 +222,15 @@ def make_step_fns(
             xb = augment_batch(xb, jax.random.fold_in(key, 1))
         return train_step(state, xb, yb, jax.random.fold_in(key, 2))
 
+    # On a multi-device mesh, concurrent async executions of the SAME
+    # program deadlock XLA:CPU's in-process collective rendezvous (the
+    # RendezvousKey's run_id is a program hash, not an execution id, so
+    # overlapping runs join each other's all-reduce and wait forever —
+    # observed live in the 8-virtual-device dryrun).  The unrolled loops
+    # therefore retire each dispatch before issuing the next; the scan
+    # paths (one program per epoch) and single-device meshes are immune.
+    serialize = mesh is not None and mesh.size > 1
+
     def train_epoch_loop(state, x, y, batch_idx, key, augment=False):
         ms = []
         for step_i in range(batch_idx.shape[0]):
@@ -229,6 +238,8 @@ def make_step_fns(
             yb = jnp.take(y, batch_idx[step_i], axis=0)
             state, m = one_step(state, xb, yb,
                                 jax.random.fold_in(key, step_i), augment)
+            if serialize:
+                m = jax.block_until_ready(m)
             ms.append(m)
         metrics = jax.tree.map(lambda *v: jnp.mean(jnp.stack(v)), *ms)
         return state, metrics
@@ -252,6 +263,8 @@ def make_step_fns(
             xb = jnp.take(x, batch_idx[step_i], axis=0)
             yb = jnp.take(y, batch_idx[step_i], axis=0)
             m, (kp_p, kp_t) = eval_batch(variables, xb, yb)
+            if serialize:
+                m = jax.block_until_ready(m)
             ms.append(m)
             pks.append(kp_p)
             tks.append(kp_t)
