@@ -409,3 +409,38 @@ def test_fused_mmfi_model_matches_xla():
         diff = np.linalg.norm(e - a)
         rel = diff / (np.linalg.norm(a) + 1e-4)
         assert rel < 2e-3 or diff < 1e-3, (k, rel, diff)
+
+
+def test_dropout2d_mask_blocks_law():
+    """The chunked-layout Dropout2d mask is constant per (sample,
+    channel) across H rows, w_in_chunk rows, and chunk lanes — pinning
+    the row-alignment assumption (lane r of block g = sample
+    (g*nbv + r)//hh, b-major)."""
+    from wiflow_tpu.models.wiflow import dropout2d_mask_blocks
+
+    ng, nbv, hh, co, s_out, n_out = 3, 8, 4, 5, 2, 6
+    keep = 0.6
+    m = np.asarray(dropout2d_mask_blocks(
+        jax.random.key(0), keep, ng, nbv, hh, co, s_out, n_out))
+    assert m.shape == (ng, co * s_out, n_out * nbv)
+    r_total = ng * nbv
+    bsz = r_total // hh
+    # reconstruct the per-(sample, channel) bit from one corner and
+    # check EVERY (row, lane) agrees with it
+    base = np.zeros((bsz, co), bool)
+    for g in range(ng):
+        for r in range(nbv):
+            b = (g * nbv + r) // hh
+            for c in range(co):
+                base[b, c] = m[g, c * s_out, r]
+    for g in range(ng):
+        for r in range(nbv):
+            b = (g * nbv + r) // hh
+            for c in range(co):
+                for s in range(s_out):
+                    for n in range(n_out):
+                        assert m[g, c * s_out + s, n * nbv + r] == \
+                            base[b, c], (g, r, c, s, n)
+    # and the marginal law is Bernoulli(keep)-ish
+    frac = base.mean()
+    assert 0.35 < frac < 0.85

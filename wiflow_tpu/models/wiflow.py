@@ -63,6 +63,23 @@ def conv_plan_dicts(conv_channels, w0: int):
     return plans if ok else None
 
 
+def dropout2d_mask_blocks(key, keep: float, ng: int, nbv: int, hh: int,
+                          co: int, s_out: int, n_out: int) -> jax.Array:
+    """Dropout2d keep-mask in chunked-block layout ``[ng, co*s, n*nbv]``.
+
+    One keep-bit per (sample, channel), shared over (H, W) (ref
+    convnet.py:15,20): rows are (c, w_in_chunk), lanes are (chunk,
+    B*H row) with rows b-major — row r of block g belongs to sample
+    ``(g*nbv + r) // hh``."""
+    bsz = ng * nbv // hh
+    m = jax.random.bernoulli(key, keep, (bsz, co))
+    m_r = jnp.repeat(m, hh, axis=0)                      # [R, co]
+    m_t = m_r.reshape(ng, nbv, co).transpose(0, 2, 1)    # [ng, co, nbv]
+    full = jnp.broadcast_to(m_t[:, :, None, None, :],
+                            (ng, co, s_out, n_out, nbv))
+    return full.reshape(ng, co * s_out, n_out * nbv)
+
+
 def run_fused_conv_stack(x, *, conv_channels, conv_dropout, dplans, nbv,
                          interp, train):
     """Run the up + residual_blocks stack through the stage-fused train
@@ -427,19 +444,10 @@ class ConvBlock(nn.Module):
                     jnp.repeat(b_, s_out))
 
         def mask2d():
-            # Dropout2d: one keep-bit per (sample, channel), shared over
-            # (H, W) (ref convnet.py:15,20) — broadcast over the
-            # w_in_chunk rows and chunk lanes
             if self.dropout <= 0.0:
                 return None
-            bsz = ng * nbv // hh
-            m = jax.random.bernoulli(self.make_rng("dropout"), keep,
-                                     (bsz, co))
-            m_r = jnp.repeat(m, hh, axis=0)                  # [R, co]
-            m_t = m_r.reshape(ng, nbv, co).transpose(0, 2, 1)
-            full = jnp.broadcast_to(m_t[:, :, None, None, :],
-                                    (ng, co, s_out, n_out, nbv))
-            return full.reshape(ng, co * s_out, n_out * nbv)
+            return dropout2d_mask_blocks(self.make_rng("dropout"), keep,
+                                         ng, nbv, hh, co, s_out, n_out)
 
         seg1 = "sym3" if cs == 1 else f"chunk3:{cs}"
         nseg_d = max(1, (stride * s_out) // s_in)

@@ -204,7 +204,7 @@ def _bwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
     b2_ref = next(it) if has_prologue else None
     mask_ref = next(it) if has_mask else None
     w_ref = next(it)
-    o_ref = next(it)
+    o_ref = next(it) if emit_stats else None
     go_ref = next(it)
     gps_ref = next(it) if emit_stats else None
     gpq_ref = next(it) if emit_stats else None
@@ -350,36 +350,51 @@ def fused_stage(xb, mean, scale, shift, mask, w, bias,
     return outs
 
 
-def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
-                keep, emit_stats, interpret):
+def _stage_specs(xb, mean, scale, shift, mask, w):
+    """Shared operand/BlockSpec prefix of the fwd and bwd stage kernels:
+    [xb, (mean, scale, shift), mask, w]."""
     ng, ci, l = xb.shape
-    l_out = l // _seg_info(seg)[1]
-    co = w.shape[1]
-    dtype = xb.dtype
-    has_prologue = scale is not None
-    has_mask = mask is not None
-    has_bias = bias is not None
+    operands, in_specs = [], []
 
-    operands = [xb]
-    in_specs = [pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
+    def _blk(v, c, ll):
+        operands.append(v)
+        in_specs.append(pl.BlockSpec((1, c, ll), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     def _vec(v):
         operands.append(v.reshape(-1, 1))
         in_specs.append(pl.BlockSpec((v.shape[0], 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    if has_prologue:
+    _blk(xb, ci, l)
+    if scale is not None:
         _vec(mean)
         _vec(scale)
         _vec(shift)
-    if has_mask:
-        operands.append(mask)
-        in_specs.append(pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+    if mask is not None:
+        _blk(mask, ci, l)
     operands.append(w)
     in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
+    return operands, in_specs, _blk, _vec
+
+
+def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
+                keep, emit_stats, interpret):
+    ng, ci, l = xb.shape
+    nseg, cs = _seg_info(seg)
+    assert (l // nb) % cs == 0, (
+        f"seg={seg!r} needs the chunk count {l}//{nb}={l // nb} divisible "
+        f"by cs={cs}")
+    l_out = l // cs
+    co = w.shape[1]
+    dtype = xb.dtype
+    has_prologue = scale is not None
+    has_mask = mask is not None
+    has_bias = bias is not None
+
+    operands, in_specs, _blk, _vec = _stage_specs(
+        xb, mean, scale, shift, mask, w)
     if has_bias:
         _vec(bias)
 
@@ -427,32 +442,13 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
     has_mask = mask is not None
     has_bias = bias is not None
 
-    operands = [xb]
-    in_specs = [pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
-
-    def _vec(v):
-        operands.append(v.reshape(-1, 1))
-        in_specs.append(pl.BlockSpec((v.shape[0], 1), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-
-    if has_prologue:
-        _vec(mean)
-        _vec(scale)
-        _vec(shift)
-    if has_mask:
-        operands.append(mask)
-        in_specs.append(pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-    operands.append(w)
-    in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))
-    operands.append(out)
-    in_specs.append(pl.BlockSpec((1, co, l_out), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    operands.append(g_out)
-    in_specs.append(pl.BlockSpec((1, co, l_out), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    operands, in_specs, _blk, _vec = _stage_specs(
+        xb, mean, scale, shift, mask, w)
+    if emit_stats:
+        # the saved forward output is only read for the stats-cotangent
+        # term — skip the per-block DMA otherwise
+        _blk(out, co, l_out)
+    _blk(g_out, co, l_out)
     if emit_stats:
         for g in (g_ps, g_pq):
             operands.append(g.reshape(ng, co, 1))
