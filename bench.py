@@ -22,6 +22,8 @@ forces completion.
 
 import functools
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -155,9 +157,71 @@ def train_epoch_seconds() -> float:
     return best * scale, best_aug * scale
 
 
+def stream_windows_per_sec() -> float:
+    """Continuous-stream mode (SURVEY §9.11): windows/sec from a raw
+    [T, 540] CSI stream through eval/streaming.make_stream_infer — the
+    on-device sliding-window path, not pre-batched windows."""
+    from wiflow_tpu.core.config import ModelConfig
+    from wiflow_tpu.eval.streaming import make_stream_infer
+    from wiflow_tpu.models.fast import fast_forward
+    from wiflow_tpu.models.wiflow import WiFlowPoseModel
+
+    cfg = ModelConfig()
+    model = WiFlowPoseModel(cfg)
+    x0 = jnp.zeros((1, 540, 20), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, x0)
+    infer = make_stream_infer(lambda xb: fast_forward(variables, xb, cfg),
+                              window=20, stride=1, batch=4096)
+    n = 16 * 4096                       # whole batches: no pad remainder
+    t_len = n + 19
+    stream = jax.jit(lambda k: jax.random.normal(
+        k, (t_len, 540), jnp.float32))(jax.random.key(3))
+    float(infer(stream)[0, 0, 0])       # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        poses = infer(stream)
+        float(poses[0, 0, 0])           # host fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
+def probe_backend(retries: int = 3, timeout_s: int = 150):
+    """Probe device init in a SUBPROCESS so a wedged axon tunnel cannot
+    hang the bench itself (BENCH_r03 failed rc=1 with a raw traceback
+    when the backend was down; a hang would be worse).  Bounded retries
+    with backoff; returns (ok, detail)."""
+    msg = "unknown"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True, r.stdout.strip().splitlines()[-1]
+            msg = (r.stderr or r.stdout).strip()[-300:]
+        except subprocess.TimeoutExpired:
+            msg = f"device init timed out after {timeout_s}s"
+        if attempt < retries - 1:
+            time.sleep(30 * (attempt + 1))
+    return False, msg
+
+
 def main() -> None:
     from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+
+    ok, detail = probe_backend()
+    if not ok:
+        # structured, parseable outage record instead of a stack trace
+        print(json.dumps({
+            "metric": "csi_windows_per_sec_per_chip", "value": None,
+            "unit": "windows/sec/chip", "vs_baseline": None,
+            "error": f"backend unavailable: {detail}",
+        }), flush=True)
+        return
+
     wps = serving_windows_per_sec()
     record = {
         "metric": "csi_windows_per_sec_per_chip",
@@ -169,9 +233,14 @@ def main() -> None:
 
     extra = {}
     try:
+        sps = stream_windows_per_sec()
+        extra["stream_windows_per_sec_per_chip"] = round(sps, 1)
+    except Exception as e:        # keep the primary metric alive
+        extra["stream_error"] = repr(e)[:200]
+    try:
         fps = mmfi_frames_per_sec()
         extra["mmfi_frames_per_sec_per_chip"] = round(fps, 1)
-    except Exception as e:        # keep the primary metric alive
+    except Exception as e:
         extra["mmfi_error"] = repr(e)[:200]
     try:
         ep_sec, ep_sec_aug = train_epoch_seconds()

@@ -41,6 +41,47 @@ def test_causal_grouped_conv1d_matches_torch(cin, cout, dilation, groups):
     np.testing.assert_allclose(out, ref, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("channels,dilation", [(540, 1), (40, 4)])
+def test_causal_depthwise_conv1d_fwd_and_grad_match_torch(channels, dilation):
+    """groups == channels (the tcn_conv='depthwise' ablation, ref
+    README.md:247) — fwd AND grads vs torch.  Round-3's depthwise
+    ablation collapse motivated this: the primitive is verified correct
+    at ci=co=1, so the collapse is an optimization property of the
+    synthetic-data recipe, not a lowering bug."""
+    rng = np.random.default_rng(7)
+    b, t, k, c = 2, 20, 3, channels
+    x = rng.standard_normal((b, c, t)).astype(np.float32)
+    conv = nn.Conv1d(c, c, k, padding=(k - 1) * dilation,
+                     dilation=dilation, groups=c, bias=False)
+    xt = torch.from_numpy(x).requires_grad_(True)
+    out_t = conv(xt)[:, :, :-(k - 1) * dilation]
+    loss_t = out_t.square().sum()
+    loss_t.backward()
+    ref = out_t.detach().numpy()
+    gx_ref = xt.grad.numpy()
+    gw_ref = conv.weight.grad.numpy()          # [C, 1, K]
+
+    w_ours = jnp.asarray(
+        conv.weight.detach().numpy()[:, 0, :].T[:, :, None, None])  # [K,C,1,1]
+    x_ours = jnp.asarray(x.transpose(0, 2, 1).reshape(b, t, c, 1))
+
+    def f(xx, ww):
+        return causal_grouped_conv1d(xx, ww, dilation=dilation)
+
+    out = f(x_ours, w_ours)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, t, c).transpose(0, 2, 1), ref,
+        rtol=RTOL, atol=ATOL)
+    gx, gw = jax.grad(lambda xx, ww: jnp.sum(jnp.square(f(xx, ww))),
+                      argnums=(0, 1))(x_ours, w_ours)
+    np.testing.assert_allclose(
+        np.asarray(gx).reshape(b, t, c).transpose(0, 2, 1), gx_ref,
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gw)[:, :, 0, 0].T[:, None, :], gw_ref,
+        rtol=1e-4, atol=1e-4)
+
+
 def test_pointwise_conv1d_matches_torch():
     rng = np.random.default_rng(1)
     b, t, ci, co = 4, 20, 540, 440

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans: fail fast at the op that "
                         "produced a NaN (SURVEY §5 sanitizers)")
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="forward-pass compute dtype (params stay fp32). "
+                        "Use float32 for CPU runs: this box's XLA:CPU "
+                        "thunk runtime can't execute bf16xbf16->f32 dots")
     return p
 
 
@@ -87,7 +92,7 @@ def main(argv=None) -> int:
         profile_ctx.__enter__()
 
     from wiflow_tpu.core.config import (
-        Config, DataConfig, MeshConfig, OptimConfig, TrainConfig,
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
     )
     from wiflow_tpu.data.dataset import CSIKeypointsDataset
     from wiflow_tpu.data.splits import (
@@ -153,6 +158,7 @@ def main(argv=None) -> int:
 
     cfg = Config(
         data=DataConfig(data_dir=data_dir),
+        model=ModelConfig(compute_dtype=args.compute_dtype),
         train=TrainConfig(
             batch_size=args.batch_size, num_epochs=args.epochs,
             patience=args.patience, use_augmentation=args.use_augmentation,

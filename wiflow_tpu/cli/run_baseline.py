@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "off by default")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="forward-pass compute dtype (params stay fp32); "
+                        "float32 for CPU runs (XLA:CPU's thunk runtime "
+                        "can't execute bf16xbf16->f32 dots)")
     return p
 
 
@@ -155,7 +160,8 @@ def main(argv=None) -> int:
 
     result = train_pose_model(parts["train"], parts["val"], parts["test"],
                               cfg, args.output_dir,
-                              model=build_model(args.model),
+                              model=build_model(args.model,
+                                                args.compute_dtype),
                               resume=not args.no_resume, **kwargs)
     write_all_artifacts(result, args.output_dir)
     print(f"[done] {args.model}: test MPJPE {result.test_metrics['mpe']:.4f}"

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "dataset_root is missing")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--no_videos", action="store_true")
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="forward-pass compute dtype (params stay fp32); "
+                        "float32 for CPU runs (XLA:CPU's thunk runtime "
+                        "can't execute bf16xbf16->f32 dots)")
     return p
 
 
@@ -120,18 +125,19 @@ def main(argv=None) -> int:
     kwargs = dict(connections=MMFI_SKELETON_CONNECTIONS,
                   pck_fn=root_relative_pck_fractions,
                   mpe_fn=root_aligned_mpjpe, monitor="pck")
+    dt = args.compute_dtype
     if args.model == "wiflow":
-        model = WiFlowMMFiModel(MMFiModelConfig())
+        model = WiFlowMMFiModel(MMFiModelConfig(compute_dtype=dt))
     elif args.model == "hpeli":
         from wiflow_tpu.models.baselines import HPELiMMFi
-        model = HPELiMMFi()
+        model = HPELiMMFi(compute_dtype=dt)
         train_xy = (train_xy[0], train_xy[1][..., :2])
         val_xy = (val_xy[0], val_xy[1][..., :2])
         test_xy = (test_xy[0], test_xy[1][..., :2])
     elif args.model == "wpformer":
         import jax.numpy as jnp
         from wiflow_tpu.models.baselines import wpformer_mmfi
-        model = wpformer_mmfi()
+        model = wpformer_mmfi(compute_dtype=dt)
 
         def metafi_masked_mse(out, yb):
             """Valid-keypoint-masked MSE (ref cross_dataset_test/WPformer/
@@ -145,13 +151,14 @@ def main(argv=None) -> int:
         kwargs.update(loss_fn=metafi_masked_mse)
     elif args.model == "perunet":
         from wiflow_tpu.models.baselines import PerUnetMMFi
-        model = PerUnetMMFi()
+        model = PerUnetMMFi(compute_dtype=dt)
     else:  # wisppn: PAM targets
         from wiflow_tpu.data.pam import (
             keypoints_to_pam, pam_confidence_mse, pam_to_keypoints,
         )
         from wiflow_tpu.models.baselines import WiSPPN
-        model = WiSPPN(input_converter="mmfi", pam_channels=3, pam_size=17)
+        model = WiSPPN(input_converter="mmfi", pam_channels=3, pam_size=17,
+                       compute_dtype=dt)
         train_xy = (train_xy[0], keypoints_to_pam(train_xy[1]))
         val_xy = (val_xy[0], keypoints_to_pam(val_xy[1]))
         test_xy = (test_xy[0], keypoints_to_pam(test_xy[1]))

@@ -64,10 +64,15 @@ def save_best_model(output_dir: str, variables: Dict[str, Any],
             torch.save(sd, os.path.join(output_dir, f"{stem}.pth"))
         except ImportError:
             pass
-        except KeyError:
+        except KeyError as e:
             # param tree doesn't match the reference architecture (e.g.
-            # the encoder_kind='conv2d' ablation) — no torch analog exists
-            pass
+            # the encoder_kind='conv2d' ablation) — no torch analog
+            # exists.  Warn instead of passing silently so a genuine
+            # torch_compat spec regression is visible (loop.py already
+            # gates export on encoder_kind, so this should never fire
+            # for the flagship).
+            print(f"[checkpoint] torch export skipped: missing key {e} "
+                  f"in the param tree (no .pth written)")
 
 
 def load_best_model(path: str) -> Dict[str, Any]:

@@ -168,7 +168,12 @@ class TrainConfig:
     # augmentation): 'rbg' uses the TPU hardware generator — threefry
     # dropout masks alone measured 1.7 ms of the 10.6 ms step at batch
     # 256.  Same-seed runs are deterministic per impl; distributions are
-    # identical.  Set 'threefry2x32' to reproduce pre-round-3 streams.
+    # identical.  CAVEAT: rbg's bit stream is NOT guaranteed stable
+    # across JAX versions or backends (and fold_in under rbg has weaker
+    # statistical guarantees than threefry) — same-seed reproducibility
+    # holds within one environment only.  Set 'threefry2x32' for
+    # cross-version/cross-backend reproducible streams (and to reproduce
+    # pre-round-3 streams).
     rng_impl: str = "rbg"
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)

@@ -32,9 +32,27 @@ def host_fingerprint() -> str:
     return "nohost"
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` work under platform plugins that
+    force-select themselves via ``jax.config`` at interpreter start
+    (the axon TPU relay does: sitecustomize sets
+    ``jax_platforms='axon,cpu'``, which overrides the env var).  Called
+    from every CLI entry before the first backend touch, so CPU-forced
+    runs — tests, measured artifacts while the chip is down, judge
+    re-runs — behave as the env var says."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    if jax.config.jax_platforms != env:
+        jax.config.update("jax_platforms", env)
+
+
 def enable_persistent_compilation_cache(path: str | None = None) -> str:
     import jax
 
+    honor_platform_env()
     base = path or os.environ.get(
         "WIFLOW_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "wiflow_tpu_jax"))

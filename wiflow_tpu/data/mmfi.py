@@ -356,17 +356,21 @@ def generate_synthetic_mmfi(root: str, subjects: Sequence[str] = ("S01", "S02"),
     receptive fields, and white AWGN is genuinely separable from the
     signal by the traditional smoothing filters mode 2 sweeps."""
     rng = np.random.default_rng(seed)
-    from scipy.ndimage import gaussian_filter1d
-    mix = np.random.default_rng(1234).standard_normal(
-        (17 * 3, 3, 114, 10)).astype(np.float32)
-    mix = gaussian_filter1d(mix, sigma=6.0, axis=2)
-    mix = (mix / mix.std() * 0.6).reshape(17 * 3, 3 * 114 * 10)
-    # Real human poses live on a low-dimensional manifold; the HPE-Li
-    # models' pooling bottlenecks rely on that.  Draw learnable-mode
-    # poses from an 8-dim latent so they can, too.
-    pose_basis = np.random.default_rng(4321).standard_normal(
-        (8, 17 * 3)).astype(np.float32)
-    pose_basis /= np.linalg.norm(pose_basis, axis=1, keepdims=True)
+    if learnable:
+        # scipy only needed for the smoothed mixing basis of learnable
+        # trees — keep the import (and the basis construction) out of
+        # the plain random-tree path
+        from scipy.ndimage import gaussian_filter1d
+        mix = np.random.default_rng(1234).standard_normal(
+            (17 * 3, 3, 114, 10)).astype(np.float32)
+        mix = gaussian_filter1d(mix, sigma=6.0, axis=2)
+        mix = (mix / mix.std() * 0.6).reshape(17 * 3, 3 * 114 * 10)
+        # Real human poses live on a low-dimensional manifold; the HPE-Li
+        # models' pooling bottlenecks rely on that.  Draw learnable-mode
+        # poses from an 8-dim latent so they can, too.
+        pose_basis = np.random.default_rng(4321).standard_normal(
+            (8, 17 * 3)).astype(np.float32)
+        pose_basis /= np.linalg.norm(pose_basis, axis=1, keepdims=True)
     for subject in subjects:
         scene = scene_of(subject)
         for action in actions:

@@ -820,23 +820,12 @@ class WiFlowPoseModel(nn.Module):
         the taps path handles any shape."""
         if cfg.conv_stack_impl == "taps":
             return None
-        from wiflow_tpu.ops.chunked import plan_for
         w0 = cfg.tcn_channels[-1]
-        try:
-            plans = plan_for(cfg.conv_channels, w0=w0)
-        except AssertionError:
-            if cfg.conv_stack_impl == "chunked":
-                raise
-            return None
-        w = w0
-        ok = True
-        for p in plans:
-            ok &= p["s_in"] * p["n_in"] == w
-            # taps stride-2 width: (W + 2*1 - 3)//2 + 1 == (W+1)//2
-            w = (w + 1) // 2 if p["stride"] == 2 else w
-            ok &= p["s_out"] * p["n_out"] == w
-        ok &= plans[-1]["s_out"] == 1
-        if not ok:
+        # single validation implementation: conv_plan_dicts owns the
+        # width-chain tiling check (the chunked and fused lowerings must
+        # agree on when they engage)
+        plans = conv_plan_dicts(cfg.conv_channels, w0)
+        if plans is None:
             if cfg.conv_stack_impl == "chunked":
                 raise ValueError(
                     f"conv_stack_impl='chunked' cannot tile w0={w0} with "

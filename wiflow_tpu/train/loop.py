@@ -192,6 +192,11 @@ def train_pose_model(
               f"{mesh.size} device(s), {tc.num_epochs} epochs")
 
     epochs_run = start_epoch
+    if n_val == 0 and start_epoch < tc.num_epochs:
+        print("[train] WARNING: empty val split — 'val_*' history columns, "
+              "early stopping, plateau LR and best-checkpoint selection "
+              "all monitor TRAIN-epoch metrics (dropout/augmentation "
+              "active) for this run")
     for epoch in range(start_epoch, tc.num_epochs):
         lr_used = get_learning_rate(state.opt_state)
         ekey = jax.random.fold_in(base_key, epoch)
