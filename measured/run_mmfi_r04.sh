@@ -1,0 +1,48 @@
+#!/bin/bash
+# Setting-3 measured artifact (VERDICT r4 item 4): WiFlow-on-MM-Fi at
+# non-toy scale on a LEARNABLE synthetic MM-Fi tree, with a mid-run
+# SIGKILL + resume to demonstrate the PCK-max monitor and the full
+# resume bundle.  Mirrors the artifact surface of ref README.md:230-238.
+#
+# Usage: bash measured/run_mmfi_r04.sh [cpu|tpu]
+set -e
+cd "$(dirname "$0")/.."
+MODE="${1:-cpu}"
+OUT=measured/mmfi_r04
+TREE=/tmp/mmfi_tree_r04
+if [ "$MODE" = cpu ]; then
+  export JAX_PLATFORMS=cpu
+  DTYPE=float32
+else
+  DTYPE=bfloat16
+fi
+export PYTHONPATH="$PWD"
+
+python - <<'EOF'
+import os
+if os.path.isdir("/tmp/mmfi_tree_r04"):
+    raise SystemExit
+from wiflow_tpu.data.mmfi import generate_synthetic_mmfi
+generate_synthetic_mmfi(
+    "/tmp/mmfi_tree_r04",
+    subjects=("S01", "S02", "S03", "S04"),
+    actions=("A01", "A02", "A03", "A04"),
+    frames=297, learnable=True, fmt="mat")
+print("[tree] 16 sequences x 297 frames generated")
+EOF
+
+mkdir -p "$OUT"
+RUN="python -m wiflow_tpu.cli.run_mmfi --dataset_root $TREE \
+  --epochs 16 --batch_size 64 --output_dir $OUT \
+  --compute_dtype $DTYPE"
+
+# phase 1: SIGKILL the trainer mid-run (after ~5 epochs' worth of wall
+# clock) to exercise the crash path
+timeout -s KILL "${KILL_AFTER:-420}" $RUN > "$OUT/train_phase1.log" 2>&1 || true
+echo "[phase1] killed; tail:"; tail -3 "$OUT/train_phase1.log"
+
+# phase 2: same command resumes from latest_checkpoint and completes
+$RUN > "$OUT/train_phase2.log" 2>&1
+echo "[phase2] done; tail:"; tail -4 "$OUT/train_phase2.log"
+grep -i "resum" "$OUT/train_phase2.log" | head -3 || true
+ls "$OUT"

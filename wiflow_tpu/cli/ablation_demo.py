@@ -41,6 +41,19 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--output_dir", type=str, default="measured/ablations")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--variants", type=str,
+                   default=",".join(v[0] for v in VARIANTS),
+                   help="comma-separated subset to run")
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="float32 for CPU runs (XLA:CPU thunk runtime "
+                        "can't execute bf16 dots)")
+    p.add_argument("--depthwise_lr", type=float, default=None,
+                   help="per-variant lr override for group_depthwise "
+                        "(depthwise-separable TCNs want a larger step "
+                        "than the grouped recipe's 1e-4; the r3 table's "
+                        "collapse was the plateau scheduler strangling "
+                        "an under-stepped run to min-lr)")
     args = p.parse_args(argv)
     from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
@@ -63,16 +76,25 @@ def main(argv=None) -> int:
           f"test {n - n_tr - n_va})")
 
     rows = []
+    wanted = set(args.variants.split(","))
+    data_dtype = ("bfloat16" if args.compute_dtype == "bfloat16"
+                  else "float32")
     for name, ref_row, overrides in VARIANTS:
+        if name not in wanted:
+            continue
         run_dir = os.path.join(args.output_dir, name)
         os.makedirs(run_dir, exist_ok=True)
-        model_cfg = ModelConfig(**overrides)
+        model_cfg = ModelConfig(compute_dtype=args.compute_dtype,
+                                **overrides)
+        lr = args.lr
+        if name == "group_depthwise" and args.depthwise_lr:
+            lr = args.depthwise_lr
         cfg = Config(
             model=model_cfg,
             train=TrainConfig(batch_size=args.batch_size,
                               num_epochs=args.epochs, patience=10 ** 6,
-                              seed=args.seed, data_dtype="bfloat16",
-                              optim=OptimConfig(lr=args.lr,
+                              seed=args.seed, data_dtype=data_dtype,
+                              optim=OptimConfig(lr=lr,
                                                 weight_decay=5e-5)),
             mesh=MeshConfig(num_devices=1), output_dir=run_dir)
         t0 = time.time()
@@ -85,6 +107,7 @@ def main(argv=None) -> int:
         row = {
             "variant": name,
             "reference_row": ref_row,
+            "lr": lr,
             "pck10": round(float(tm["pck@0.1"]) * 100, 2),
             "pck20": round(float(tm["pck@0.2"]) * 100, 2),
             "mpjpe_m": round(float(tm["mpe"]), 4),
