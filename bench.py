@@ -199,8 +199,15 @@ def probe_backend(retries: int = 3, timeout_s: int = 150):
                 [sys.executable, "-c", "import jax; print(jax.devices())"],
                 capture_output=True, text=True, timeout=timeout_s)
             if r.returncode == 0:
-                return True, r.stdout.strip().splitlines()[-1]
-            msg = (r.stderr or r.stdout).strip()[-300:]
+                devs = r.stdout.strip().splitlines()[-1]
+                if "TPU" in devs:
+                    return True, devs
+                # axon can fail fast and silently fall back to CPU;
+                # running the bench there would crash (XLA:CPU has no
+                # bf16 dot thunk) or report meaningless numbers
+                msg = f"no TPU device (backend fell back to {devs})"
+            else:
+                msg = (r.stderr or r.stdout).strip()[-300:]
         except subprocess.TimeoutExpired:
             msg = f"device init timed out after {timeout_s}s"
         if attempt < retries - 1:
