@@ -32,13 +32,17 @@ print("[tree] 16 sequences x 297 frames generated")
 EOF
 
 mkdir -p "$OUT"
+# lr 1e-3 / 100 epochs / patience 40: this model's torch-faithful BN
+# gives it a long eval-lag warmup (eval-mode BN attenuates the
+# input-dependent signal ~1e6x at init until running stats adapt; the
+# flagship's convergence demos needed tens of thousands of steps too),
+# so the 16-epoch default recipe early-stops at the mean-pose floor.
 RUN="python -m wiflow_tpu.cli.run_mmfi --dataset_root $TREE \
-  --epochs 16 --batch_size 64 --output_dir $OUT \
+  --epochs 100 --batch_size 64 --lr 1e-3 --patience 40 --output_dir $OUT \
   --compute_dtype $DTYPE"
 
-# phase 1: SIGKILL the trainer mid-run (after ~5 epochs' worth of wall
-# clock) to exercise the crash path
-timeout -s KILL "${KILL_AFTER:-420}" $RUN > "$OUT/train_phase1.log" 2>&1 || true
+# phase 1: SIGKILL the trainer mid-run to exercise the crash path
+timeout -s KILL "${KILL_AFTER:-1500}" $RUN > "$OUT/train_phase1.log" 2>&1 || true
 echo "[phase1] killed; tail:"; tail -3 "$OUT/train_phase1.log"
 
 # phase 2: same command resumes from latest_checkpoint and completes

@@ -99,7 +99,7 @@ def main(argv=None) -> int:
             mesh=MeshConfig(num_devices=1), output_dir=run_dir)
         t0 = time.time()
         result = train_pose_model(train, val, test, cfg, run_dir,
-                                  resume=False)
+                                  resume=True)
         wall = time.time() - t0
         params = sum(x.size for x in
                      jax.tree.leaves(result.variables["params"]))
@@ -119,19 +119,22 @@ def main(argv=None) -> int:
               f"MPJPE {row['mpjpe_m']} m, {params / 1e6:.2f}M params "
               f"({row['wall_clock_min']} min)")
 
-    out = os.path.join(args.output_dir, "ablation_summary.json")
-    with open(out, "w", encoding="utf-8") as fd:
-        json.dump({"windows": n, "epochs": args.epochs, "rows": rows,
-                   "reference_table": "README.md:240-248"}, fd, indent=2)
-    md = ["| Variant | PCK@10 | PCK@20 | MPJPE (m) | Params |",
-          "|---|---|---|---|---|"]
-    for r in rows:
-        md.append(f"| {r['variant']} | {r['pck10']} | {r['pck20']} | "
-                  f"{r['mpjpe_m']} | {r['params'] / 1e6:.2f}M |")
-    with open(os.path.join(args.output_dir, "ablation_table.md"), "w",
-              encoding="utf-8") as fd:
-        fd.write("\n".join(md) + "\n")
-    print(f"[done] summary -> {out}")
+        # write after every variant: a killed multi-hour run still
+        # leaves a valid summary of the variants that finished
+        out = os.path.join(args.output_dir, "ablation_summary.json")
+        with open(out, "w", encoding="utf-8") as fd:
+            json.dump({"windows": n, "epochs": args.epochs, "rows": rows,
+                       "reference_table": "README.md:240-248"}, fd,
+                      indent=2)
+        md = ["| Variant | PCK@10 | PCK@20 | MPJPE (m) | Params |",
+              "|---|---|---|---|---|"]
+        for r in rows:
+            md.append(f"| {r['variant']} | {r['pck10']} | {r['pck20']} | "
+                      f"{r['mpjpe_m']} | {r['params'] / 1e6:.2f}M |")
+        with open(os.path.join(args.output_dir, "ablation_table.md"), "w",
+                  encoding="utf-8") as fd:
+            fd.write("\n".join(md) + "\n")
+    print(f"[done] summary -> {args.output_dir}/ablation_summary.json")
     return 0
 
 

@@ -143,32 +143,35 @@ def main(argv=None) -> int:
               f"{row['params_m']}M params ({row['wall_clock_min']} min)",
               flush=True)
 
-    out = os.path.join(args.output_dir, "comparison_summary.json")
-    with open(out, "w", encoding="utf-8") as fd:
-        json.dump({"windows": n, "epochs": args.epochs,
-                   "batch_size": args.batch_size,
-                   "backend": jax.default_backend(),
-                   "compute_dtype": args.compute_dtype, "rows": rows,
-                   "reference_table": "README.md:109-120"}, fd, indent=2)
-    md = ["| Model | PCK@20 | PCK@30 | PCK@40 | PCK@50 | MPJPE (m) | "
-          "Params (M) | FLOPs (G) | Wall (min) |",
-          "|---|---|---|---|---|---|---|---|---|"]
-    for r in rows:
-        md.append(f"| {r['model']} | {r['pck20']} | {r['pck30']} | "
-                  f"{r['pck40']} | {r['pck50']} | {r['mpjpe_m']} | "
-                  f"{r['params_m']} | {r['flops_g']} | "
-                  f"{r['wall_clock_min']} |")
-    md.append("")
-    md.append(f"Shared synthetic dataset ({n} windows, {args.epochs} "
-              f"epochs, batch {args.batch_size}); structure mirrors the "
-              "reference Setting-1 table (ref README.md:109-120). "
-              "Synthetic-data scores demonstrate the five train recipes "
-              "end-to-end — they are NOT comparable to the reference's "
-              "real-dataset numbers; PAM baselines use synthesized PAM "
-              "labels (see module docstring).")
-    with open(os.path.join(args.output_dir, "comparison_table.md"), "w",
-              encoding="utf-8") as fd:
-        fd.write("\n".join(md) + "\n")
+        # write after every model: a killed multi-hour run still leaves
+        # a valid table of the models that finished
+        out = os.path.join(args.output_dir, "comparison_summary.json")
+        with open(out, "w", encoding="utf-8") as fd:
+            json.dump({"windows": n, "epochs": args.epochs,
+                       "batch_size": args.batch_size,
+                       "backend": jax.default_backend(),
+                       "compute_dtype": args.compute_dtype, "rows": rows,
+                       "reference_table": "README.md:109-120"}, fd,
+                      indent=2)
+        md = ["| Model | PCK@20 | PCK@30 | PCK@40 | PCK@50 | MPJPE (m) | "
+              "Params (M) | FLOPs (G) | Wall (min) |",
+              "|---|---|---|---|---|---|---|---|---|"]
+        for r in rows:
+            md.append(f"| {r['model']} | {r['pck20']} | {r['pck30']} | "
+                      f"{r['pck40']} | {r['pck50']} | {r['mpjpe_m']} | "
+                      f"{r['params_m']} | {r['flops_g']} | "
+                      f"{r['wall_clock_min']} |")
+        md.append("")
+        md.append(f"Shared synthetic dataset ({n} windows, {args.epochs} "
+                  f"epochs, batch {args.batch_size}); structure mirrors "
+                  "the reference Setting-1 table (ref README.md:109-120). "
+                  "Synthetic-data scores demonstrate the five train "
+                  "recipes end-to-end — they are NOT comparable to the "
+                  "reference's real-dataset numbers; PAM baselines use "
+                  "synthesized PAM labels (see module docstring).")
+        with open(os.path.join(args.output_dir, "comparison_table.md"),
+                  "w", encoding="utf-8") as fd:
+            fd.write("\n".join(md) + "\n")
     print(f"[done] table -> {args.output_dir}/comparison_table.md")
     return 0
 
