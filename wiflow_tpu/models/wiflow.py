@@ -63,6 +63,23 @@ def conv_plan_dicts(conv_channels, w0: int):
     return plans if ok else None
 
 
+def fused_conv_gate(*, train: bool, impl: str, conv_channels, w0: int,
+                    r_rows: int):
+    """Shared gate for the stage-fused conv-stack train path: returns
+    ``(dplans, nbv, interp)`` when the lowering should engage, else
+    None.  One implementation for WiFlowPoseModel and WiFlowMMFiModel
+    so the engagement conditions can't drift apart."""
+    if not (train and impl != "xla"
+            and (impl == "fused"
+                 or (impl == "auto" and jax.default_backend() == "tpu"))):
+        return None
+    dplans = conv_plan_dicts(tuple(conv_channels), w0)
+    nbv = next((c for c in (64, 32, 16, 8) if r_rows % c == 0), None)
+    if dplans is None or nbv is None:
+        return None
+    return dplans, nbv, jax.default_backend() != "tpu"
+
+
 def dropout2d_mask_blocks(key, keep: float, ng: int, nbv: int, hh: int,
                           co: int, s_out: int, n_out: int) -> jax.Array:
     """Dropout2d keep-mask in chunked-block layout ``[ng, co*s, n*nbv]``.
@@ -808,10 +825,6 @@ class WiFlowPoseModel(nn.Module):
     config: ModelConfig = ModelConfig()
 
     @staticmethod
-    def _conv_plan_dicts(cfg: ModelConfig):
-        return conv_plan_dicts(cfg.conv_channels, cfg.tcn_channels[-1])
-
-    @staticmethod
     def _chunk_plans(cfg: ModelConfig):
         """Chunk plans for the conv stack, or None for the taps path.
 
@@ -880,17 +893,10 @@ class WiFlowPoseModel(nn.Module):
             # (ref: pose_model.py:79 builds [B, 1, 20, 240])
             b_, t_ = x.shape[0], x.shape[1]
             r_rows = b_ * t_
-            fused_cv = None
-            if (train and cfg.conv_train_impl != "xla"
-                    and (cfg.conv_train_impl == "fused"
-                         or (cfg.conv_train_impl == "auto"
-                             and jax.default_backend() == "tpu"))):
-                dplans = self._conv_plan_dicts(cfg)
-                nbv = next((c for c in (64, 32, 16, 8)
-                            if r_rows % c == 0), None)
-                if dplans is not None and nbv is not None:
-                    fused_cv = (dplans, nbv,
-                                jax.default_backend() != "tpu")
+            fused_cv = fused_conv_gate(
+                train=train, impl=cfg.conv_train_impl,
+                conv_channels=cfg.conv_channels,
+                w0=cfg.tcn_channels[-1], r_rows=r_rows)
 
             if fused_cv is not None:
                 dplans, nbv, interp = fused_cv

@@ -98,20 +98,12 @@ class WiFlowMMFiModel(nn.Module):
             x, train=train)
         x = silu(x)                                        # [B, 10, 272]
 
-        fused_cv = None
-        if (train and cfg.conv_train_impl != "xla"
-                and (cfg.conv_train_impl == "fused"
-                     or (cfg.conv_train_impl == "auto"
-                         and jax.default_backend() == "tpu"))):
-            from wiflow_tpu.models.wiflow import (
-                conv_plan_dicts, run_fused_conv_stack)
-            dplans = conv_plan_dicts(tuple(cfg.conv_channels),
-                                     cfg.tcn_proj_channels)
-            r_rows = b * cfg.window_size
-            nbv = next((c for c in (64, 32, 16, 8) if r_rows % c == 0),
-                       None)
-            if dplans is not None and nbv is not None:
-                fused_cv = (dplans, nbv, jax.default_backend() != "tpu")
+        from wiflow_tpu.models.wiflow import (
+            fused_conv_gate, run_fused_conv_stack)
+        fused_cv = fused_conv_gate(
+            train=train, impl=cfg.conv_train_impl,
+            conv_channels=cfg.conv_channels, w0=cfg.tcn_proj_channels,
+            r_rows=b * cfg.window_size)
 
         if fused_cv is not None:
             dplans, nbv, interp = fused_cv
