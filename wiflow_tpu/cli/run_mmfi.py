@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--output_dir", type=str, default="mmfi_outputs")
     p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--plateau_patience", type=int, default=3,
+                   help="ReduceLROnPlateau patience in epochs (ref "
+                        "cross_dataset_test/WiFlow/wiflow.py:1225-1233 "
+                        "uses 3). The reference tunes this for real "
+                        "MM-Fi epoch sizes (~thousands of steps); small "
+                        "synthetic trees have ~50-step epochs, where "
+                        "patience 3 strangles the lr before the model "
+                        "escapes the BN eval-lag warmup — raise it "
+                        "proportionally for small runs")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic", action="store_true",
                    help="generate a miniature synthetic MM-Fi tree if the "
@@ -113,7 +122,8 @@ def main(argv=None) -> int:
         train=TrainConfig(
             batch_size=args.batch_size, num_epochs=args.epochs,
             patience=args.patience, seed=args.seed,
-            optim=OptimConfig(lr=args.lr, weight_decay=1e-4)),
+            optim=OptimConfig(lr=args.lr, weight_decay=1e-4,
+                              plateau_patience=args.plateau_patience)),
         mesh=MeshConfig(),
         output_dir=args.output_dir,
     )
