@@ -444,3 +444,28 @@ def test_dropout2d_mask_blocks_law():
     # and the marginal law is Bernoulli(keep)-ish
     frac = base.mean()
     assert 0.35 < frac < 0.85
+
+
+def test_fused_conv_gate_decisions():
+    """The shared engagement gate (models/wiflow.fused_conv_gate) —
+    one decision point for both WiFlowPoseModel and WiFlowMMFiModel."""
+    from wiflow_tpu.models.wiflow import fused_conv_gate
+
+    kw = dict(conv_channels=(64, 32, 16), w0=64)
+    # 'xla' or eval mode: always off
+    assert fused_conv_gate(train=True, impl="xla", r_rows=128, **kw) is None
+    assert fused_conv_gate(train=False, impl="fused", r_rows=128, **kw) is None
+    # 'auto' only engages on a TPU backend (tests run on CPU)
+    assert fused_conv_gate(train=True, impl="auto", r_rows=128, **kw) is None
+    # 'fused' engages anywhere (interpret=True off-TPU), picking the
+    # largest row block that tiles r_rows
+    got = fused_conv_gate(train=True, impl="fused", r_rows=128, **kw)
+    assert got is not None
+    dplans, nbv, interp = got
+    assert nbv == 64 and interp is True and dplans is not None
+    assert fused_conv_gate(train=True, impl="fused", r_rows=48, **kw)[1] == 16
+    # rows that no block size tiles: fall back to the unfused path
+    assert fused_conv_gate(train=True, impl="fused", r_rows=7, **kw) is None
+    # width chains the chunk schedule can't tile: fall back too
+    assert fused_conv_gate(train=True, impl="fused", r_rows=128,
+                           conv_channels=(64, 32, 16), w0=63) is None
