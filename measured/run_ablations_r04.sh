@@ -19,7 +19,7 @@ export PYTHONPATH="$PWD"
 if [ "$MODE" = cpu ]; then
   export JAX_PLATFORMS=cpu
   exec python -m wiflow_tpu.cli.ablation_demo \
-    --windows 8000 --epochs 12 --batch_size 64 \
+    --windows 5000 --epochs 10 --batch_size 64 \
     --variants full,group_depthwise --depthwise_lr 1e-3 \
     --compute_dtype float32 --output_dir measured/ablations_r04
 else
