@@ -92,13 +92,19 @@ class ModelConfig:
     attention_module_impl: str = "auto"
     # TCN train-path lowering: 'auto' = stage-fused Pallas kernels on
     # TPU (ops/pallas/stage_fused.py), XLA elsewhere; 'fused' forces
-    # them (interpret off-TPU, for tests); 'xla' disables
-    # (default 'xla' until the fused path is chip-verified)
+    # them (interpret off-TPU, for tests); 'xla' disables.
+    # Default 'xla' is the chip-MEASURED winner (v5e, batch 256,
+    # measured/train_impls_r04.md): full train epoch 1.94 s XLA vs
+    # 2.10 s tcn-fused vs 2.96 s both-fused — XLA's fusion pipeline
+    # beat the hand-fused stages once the custom conv VJPs landed, so
+    # the stage kernels stay an opt-in experiment path (compiled,
+    # parity-tested, and timed on hardware — not dark code).
     tcn_train_impl: str = "xla"
     # conv-stack train-path lowering, same switch semantics as
     # tcn_train_impl: stage-fused Pallas kernels on the chunked
     # space-to-depth layout (banded-matmul convs, Dropout2d masks,
-    # act_h=False residual join)
+    # act_h=False residual join). Measured 2.80 s/epoch vs 1.94 s XLA
+    # (same probe) — default 'xla'.
     conv_train_impl: str = "xla"
     # conv-stack lowering in the flax module: 'taps' = plain [B,H,W,C]
     # tap matmuls (default — measured 3.2 ms/step fwd+bwd at batch 256 on

@@ -97,6 +97,15 @@ def _segments(x2d: jax.Array, seg: str, dil: int, t: int, nb: int):
             for j in range(cs)]
 
 
+def _hcat(parts):
+    """Lane-axis concat that drops zero-width parts — Mosaic rejects
+    zero-sized vectors ('vector types must have positive constant
+    sizes'), so padding by an empty block must be a no-op, not a
+    zero-width operand."""
+    parts = [p for p in parts if p.shape[-1]]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _segments_t(gsegs, seg: str, dil: int, t: int, nb: int, l_in: int):
     """Transpose of :func:`_segments`: scatter per-tap grads back to x."""
     if seg == "identity":
@@ -127,12 +136,13 @@ def _segments_t(gsegs, seg: str, dil: int, t: int, nb: int, l_in: int):
         gxp = jnp.zeros((rows, (n_in + 2) * nb), dt)
         for j in range(3):
             gi = gsegs[j].reshape(rows, n_out, 1, nb)
-            gi = jnp.concatenate(
-                [gi, jnp.zeros((rows, n_out, cs - 1, nb), dt)], axis=2)
+            if cs > 1:
+                gi = jnp.concatenate(
+                    [gi, jnp.zeros((rows, n_out, cs - 1, nb), dt)], axis=2)
             gi = gi.reshape(rows, cs * n_out * nb)
             left = jnp.zeros((rows, j * nb), dt)
             right = jnp.zeros((rows, (n_in + 2 - j - cs * n_out) * nb), dt)
-            gxp = gxp + jnp.concatenate([left, gi, right], axis=1)
+            gxp = gxp + _hcat([left, gi, right])
         return gxp[:, nb:(n_in + 1) * nb]
     assert kind == "chunk1", seg
     gi = jnp.stack([g.reshape(rows, n_out, nb) for g in gsegs], axis=2)
@@ -155,35 +165,66 @@ def _seg_info(seg: str):
 # ---------------------------------------------------------------------------
 
 
+def _silu_f32(u, dtype):
+    """silu computed in f32 inside a kernel.
+
+    Mosaic rejects ``jax.nn.silu`` applied directly to a bf16 vector: the
+    lowering broadcasts the f32 constant 1.0 into a bf16 vector operand
+    ('vector.broadcast' element-type verification error on real TPU,
+    observed on v5e). The bwd kernels already compute sigmoid in f32 for
+    accuracy; this keeps the fwd kernels on the same path.
+    """
+    u32 = u.astype(jnp.float32)
+    return (u32 * jax.nn.sigmoid(u32)).astype(dtype)
+
+
 def _fwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
                 has_prologue: bool, has_mask: bool, has_bias: bool,
-                emit_stats: bool, dtype):
+                emit_stats: bool, presplit: bool, dtype):
+    nseg, _ = _seg_info(seg)
     it = iter(refs)
-    x_ref = next(it)
+    if presplit:
+        x_refs = [next(it) for _ in range(nseg)]
+    else:
+        x_ref = next(it)
     m_ref = next(it) if has_prologue else None
     s_ref = next(it) if has_prologue else None
     b2_ref = next(it) if has_prologue else None
     mask_ref = next(it) if has_mask else None
-    w_ref = next(it)
+    w_refs = [next(it) for _ in range(nseg)]
     b_ref = next(it) if has_bias else None
     out_ref = next(it)
     ps_ref = next(it) if emit_stats else None
     pq_ref = next(it) if emit_stats else None
 
-    x = x_ref[0].astype(dtype)
-    a = x
-    if has_prologue:
-        u = (x - m_ref[...].astype(dtype)[:, :1]) \
-            * s_ref[...].astype(dtype)[:, :1] \
-            + b2_ref[...].astype(dtype)[:, :1]
-        a = jax.nn.silu(u).astype(dtype)
-    if mask_ref is not None:
-        a = jnp.where(mask_ref[0], a / keep, jnp.zeros_like(a))
-    segs = _segments(a, seg, dil, t, nb)
-    xcat = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
-    y = jax.lax.dot_general(
-        w_ref[...].astype(dtype).T, xcat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if presplit:
+        # chunk-kind stages (lane-subsampled segments) are pre-sliced in
+        # XLA outside the kernel: the block-strided lane gather does not
+        # lower in Mosaic ("unsupported shape cast"), and every chunk
+        # stage in the model is prologue- and mask-free, so the split
+        # commutes with the kernel body.
+        segs = [r[0].astype(dtype) for r in x_refs]
+    else:
+        x = x_ref[0].astype(dtype)
+        a = x
+        if has_prologue:
+            u = (x - m_ref[...].astype(dtype)[:, :1]) \
+                * s_ref[...].astype(dtype)[:, :1] \
+                + b2_ref[...].astype(dtype)[:, :1]
+            a = _silu_f32(u, dtype)
+        if mask_ref is not None:
+            a = jnp.where(mask_ref[0], a / keep, jnp.zeros_like(a))
+        # per-tap dot accumulation (tcn_level.py pattern): Mosaic cannot
+        # concat lane-offset slices along the sublane axis ("result/input
+        # offset mismatch on non-concat dimension"), so the packed weight
+        # is split into per-tap refs outside and each tap is its own dot.
+        segs = _segments(a, seg, dil, t, nb)
+    y = None
+    for wr, sg in zip(w_refs, segs):
+        yj = jax.lax.dot_general(
+            wr[...].astype(dtype).T, sg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = yj if y is None else y + yj
     if b_ref is not None:
         y = y + b_ref[...].astype(jnp.float32)[:, :1]
     o = y.astype(dtype)
@@ -196,41 +237,51 @@ def _fwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
 
 def _bwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
                 has_prologue: bool, has_mask: bool, has_bias: bool,
-                emit_stats: bool, dtype):
+                emit_stats: bool, presplit: bool, dtype):
+    nseg, _ = _seg_info(seg)
     it = iter(refs)
-    x_ref = next(it)
+    if presplit:
+        x_refs = [next(it) for _ in range(nseg)]
+    else:
+        x_ref = next(it)
     m_ref = next(it) if has_prologue else None
     s_ref = next(it) if has_prologue else None
     b2_ref = next(it) if has_prologue else None
     mask_ref = next(it) if has_mask else None
-    w_ref = next(it)
+    w_refs = [next(it) for _ in range(nseg)]
     o_ref = next(it) if emit_stats else None
     go_ref = next(it)
     gps_ref = next(it) if emit_stats else None
     gpq_ref = next(it) if emit_stats else None
-    gx_ref = next(it)
-    gw_ref = next(it)
+    if presplit:
+        gx_refs = [next(it) for _ in range(nseg)]  # per-tap segment grads
+    else:
+        gx_ref = next(it)
+    gw_refs = [next(it) for _ in range(nseg)]     # per-tap [Ci, Co] blocks
     ga_ref = next(it) if has_prologue else None   # sum(gu * x) per channel
     gt_ref = next(it) if has_prologue else None   # sum(gu) per channel
     gb_ref = next(it) if has_bias else None
 
     first = pl.program_id(0) == 0
 
-    x = x_ref[0].astype(dtype)
-    mask = mask_ref[0] if mask_ref is not None else None
-
-    # recompute the prologue pieces we need (flash-style)
-    if has_prologue:
-        s_col = s_ref[...].astype(dtype)[:, :1]
-        u = (x - m_ref[...].astype(dtype)[:, :1]) * s_col \
-            + b2_ref[...].astype(dtype)[:, :1]
-        sig = jax.nn.sigmoid(u.astype(jnp.float32))
-        a = (u.astype(jnp.float32) * sig).astype(dtype)
+    if presplit:
+        segs = [r[0].astype(dtype) for r in x_refs]
     else:
-        a = x
-    ad = a if mask is None else jnp.where(mask, a / keep, jnp.zeros_like(a))
-    segs = _segments(ad, seg, dil, t, nb)
-    xcat = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+        x = x_ref[0].astype(dtype)
+        mask = mask_ref[0] if mask_ref is not None else None
+
+        # recompute the prologue pieces we need (flash-style)
+        if has_prologue:
+            s_col = s_ref[...].astype(dtype)[:, :1]
+            u = (x - m_ref[...].astype(dtype)[:, :1]) * s_col \
+                + b2_ref[...].astype(dtype)[:, :1]
+            sig = jax.nn.sigmoid(u.astype(jnp.float32))
+            a = (u.astype(jnp.float32) * sig).astype(dtype)
+        else:
+            a = x
+        ad = a if mask is None else jnp.where(mask, a / keep,
+                                              jnp.zeros_like(a))
+        segs = _segments(ad, seg, dil, t, nb)
 
     # total conv-output cotangent: downstream grad + the stats terms
     go = go_ref[0].astype(jnp.float32)
@@ -240,36 +291,39 @@ def _bwd_kernel(*refs, seg: str, dil: int, t: int, nb: int, keep: float,
             + 2.0 * o * gpq_ref[0].astype(jnp.float32)
     gof = go.astype(dtype)
 
-    # weight grad, accumulated across the sequential grid
-    gw = jax.lax.dot_general(
-        xcat, gof, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [R, Co]
+    # per-tap weight grads, accumulated across the sequential grid
+    # (per-tap rather than one packed [R, Co] dot: see _fwd_kernel)
+    gws = [jax.lax.dot_general(sg, gof, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           for sg in segs]                                  # nseg x [Ci, Co]
     if has_bias:
         gb = jnp.sum(go, axis=1, keepdims=True)             # [Co, 1]
 
     @pl.when(first)
     def _init():
-        gw_ref[...] = gw
+        for r, v in zip(gw_refs, gws):
+            r[...] = v
         if has_bias:
             gb_ref[...] = gb
 
     @pl.when(jnp.logical_not(first))
     def _acc():
-        gw_ref[...] += gw
+        for r, v in zip(gw_refs, gws):
+            r[...] += v
         if has_bias:
             gb_ref[...] += gb
 
-    # input-side grad through the dot: g_xcat = W @ g_o
-    gxcat = jax.lax.dot_general(
-        w_ref[...].astype(dtype), gof, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [R, L]
-    nseg, _ = _seg_info(seg)
-    if nseg == 1:
-        gad = _segments_t([gxcat], seg, dil, t, nb, x.shape[1])
-    else:
-        r = gxcat.shape[0] // nseg
-        gad = _segments_t([gxcat[j * r:(j + 1) * r] for j in range(nseg)],
-                          seg, dil, t, nb, x.shape[1])
+    # input-side grad through the dots: g_seg_j = W_j @ g_o
+    gsegs = [jax.lax.dot_general(wr[...].astype(dtype), gof,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             for wr in w_refs]                              # nseg x [Ci, L']
+    if presplit:
+        # the lane scatter back to x happens in XLA outside (_stage_bwd)
+        for r, g in zip(gx_refs, gsegs):
+            r[0] = g.astype(r.dtype)
+        return
+    gad = _segments_t(gsegs, seg, dil, t, nb, x.shape[1])
 
     if mask is not None:
         gad = jnp.where(mask, gad / keep, jnp.zeros_like(gad))
@@ -350,9 +404,48 @@ def fused_stage(xb, mean, scale, shift, mask, w, bias,
     return outs
 
 
-def _stage_specs(xb, mean, scale, shift, mask, w):
+def _split_w(w, ci: int, seg: str):
+    """Split the packed ``[R, Co]`` weight into per-tap ``[Ci, Co]``
+    blocks (R = nseg*Ci) — the kernels take one ref per tap because
+    Mosaic cannot sublane-concat the lane-offset input segments."""
+    nseg, _ = _seg_info(seg)
+    assert w.shape[0] == nseg * ci, (w.shape, nseg, ci, seg)
+    return [w[j * ci:(j + 1) * ci] for j in range(nseg)]
+
+
+def _is_chunk(seg: str) -> bool:
+    """Chunk-kind segments (block-strided lane gathers) are pre-split in
+    XLA outside the kernel — Mosaic has no lowering for the gather."""
+    return seg.startswith("chunk")
+
+
+def _segments_b(xb, seg: str, dil: int, t: int, nb: int):
+    """Batched (XLA-side) :func:`_segments` over ``[ng, Ci, L]`` blocks."""
+    return jax.vmap(lambda x2: tuple(_segments(x2, seg, dil, t, nb)))(xb)
+
+
+def _prologue_xla(xb, mean, scale, shift, mask, keep):
+    """The stage prologue (BN-apply -> SiLU -> dropout) in plain XLA —
+    the presplit path's substitute for the in-kernel prologue, numerics
+    matching :func:`stage_ref` exactly."""
+    a = xb
+    if scale is not None:
+        dt = xb.dtype
+        a = (xb - mean.astype(dt)[None, :, None]) \
+            * scale.astype(dt)[None, :, None] \
+            + shift.astype(dt)[None, :, None]
+        a = jax.nn.silu(a).astype(dt)
+    if mask is not None:
+        a = jnp.where(mask, a / keep, jnp.zeros_like(a))
+    return a
+
+
+def _stage_specs(xb, mean, scale, shift, mask, ws, seg, dil, t, nb, keep):
     """Shared operand/BlockSpec prefix of the fwd and bwd stage kernels:
-    [xb, (mean, scale, shift), mask, w]."""
+    [xb | presplit segments, (mean, scale, shift), mask, *ws].
+
+    For chunk-kind segments the prologue runs in XLA here and the
+    pre-split segment blocks are the kernel inputs (presplit path)."""
     ng, ci, l = xb.shape
     operands, in_specs = [], []
 
@@ -366,16 +459,23 @@ def _stage_specs(xb, mean, scale, shift, mask, w):
         in_specs.append(pl.BlockSpec((v.shape[0], 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    _blk(xb, ci, l)
-    if scale is not None:
-        _vec(mean)
-        _vec(scale)
-        _vec(shift)
-    if mask is not None:
-        _blk(mask, ci, l)
-    operands.append(w)
-    in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))
+    if _is_chunk(seg):
+        a = _prologue_xla(xb, mean, scale, shift, mask, keep)
+        _, cs = _seg_info(seg)
+        for sgb in _segments_b(a, seg, dil, t, nb):
+            _blk(sgb, ci, l // cs)
+    else:
+        _blk(xb, ci, l)
+        if scale is not None:
+            _vec(mean)
+            _vec(scale)
+            _vec(shift)
+        if mask is not None:
+            _blk(mask, ci, l)
+    for wj in ws:
+        operands.append(wj)
+        in_specs.append(pl.BlockSpec(wj.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
     return operands, in_specs, _blk, _vec
 
 
@@ -389,12 +489,14 @@ def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
     l_out = l // cs
     co = w.shape[1]
     dtype = xb.dtype
-    has_prologue = scale is not None
-    has_mask = mask is not None
+    presplit = _is_chunk(seg)
+    has_prologue = scale is not None and not presplit
+    has_mask = mask is not None and not presplit
     has_bias = bias is not None
 
     operands, in_specs, _blk, _vec = _stage_specs(
-        xb, mean, scale, shift, mask, w)
+        xb, mean, scale, shift, mask, _split_w(w, ci, seg), seg, dil, t,
+        nb, keep)
     if has_bias:
         _vec(bias)
 
@@ -410,7 +512,7 @@ def _stage_call(xb, mean, scale, shift, mask, w, bias, seg, dil, t, nb,
     kern = functools.partial(
         _fwd_kernel, seg=seg, dil=dil, t=t, nb=nb, keep=keep,
         has_prologue=has_prologue, has_mask=has_mask, has_bias=has_bias,
-        emit_stats=emit_stats, dtype=dtype)
+        emit_stats=emit_stats, presplit=presplit, dtype=dtype)
     res = pl.pallas_call(
         kern, grid=(ng,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret)(*operands)
@@ -441,9 +543,12 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
     has_prologue = scale is not None
     has_mask = mask is not None
     has_bias = bias is not None
+    nseg, _ = _seg_info(seg)
+    presplit = _is_chunk(seg)
 
     operands, in_specs, _blk, _vec = _stage_specs(
-        xb, mean, scale, shift, mask, w)
+        xb, mean, scale, shift, mask, _split_w(w, ci, seg), seg, dil, t,
+        nb, keep)
     if emit_stats:
         # the saved forward output is only read for the stats-cotangent
         # term — skip the per-block DMA otherwise
@@ -455,14 +560,25 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
             in_specs.append(pl.BlockSpec((1, co, 1), lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
 
-    r_rows = w.shape[0]
-    out_shapes = [jax.ShapeDtypeStruct((ng, ci, l), dtype),
-                  jax.ShapeDtypeStruct((r_rows, co), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((r_rows, co), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)]
-    if has_prologue:
+    out_shapes, out_specs = [], []
+    if presplit:
+        # per-tap segment grads, scattered back to x in XLA below (f32:
+        # overlapping taps add, keep the adds in the accumulation dtype)
+        for _ in range(nseg):
+            out_shapes.append(
+                jax.ShapeDtypeStruct((ng, ci, l_out), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, ci, l_out),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((ng, ci, l), dtype))
+        out_specs.append(pl.BlockSpec((1, ci, l), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    for _ in range(nseg):
+        out_shapes.append(jax.ShapeDtypeStruct((ci, co), jnp.float32))
+        out_specs.append(pl.BlockSpec((ci, co), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    if has_prologue and not presplit:
         for _ in range(2):
             out_shapes.append(jax.ShapeDtypeStruct((ci, 1), jnp.float32))
             out_specs.append(pl.BlockSpec((ci, 1), lambda i: (0, 0),
@@ -474,21 +590,50 @@ def _stage_bwd(seg, dil, t, nb, keep, emit_stats, interpret, res, cts):
 
     kern = functools.partial(
         _bwd_kernel, seg=seg, dil=dil, t=t, nb=nb, keep=keep,
-        has_prologue=has_prologue, has_mask=has_mask, has_bias=has_bias,
-        emit_stats=emit_stats, dtype=dtype)
+        has_prologue=has_prologue and not presplit,
+        has_mask=has_mask and not presplit, has_bias=has_bias,
+        emit_stats=emit_stats, presplit=presplit, dtype=dtype)
     res_b = pl.pallas_call(
         kern, grid=(ng,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret)(*operands)
 
     it = iter(res_b)
-    g_x = next(it)
-    g_w = next(it).astype(w.dtype)
+    a_sum = b_sum = None
+    if presplit:
+        # scatter the per-tap segment grads back to the prologue output,
+        # then chain the prologue/mask grads in XLA (the presplit mirror
+        # of the in-kernel epilogue)
+        gseg_blocks = [next(it) for _ in range(nseg)]
+        gad = jax.vmap(
+            lambda *g: _segments_t(list(g), seg, dil, t, nb, l)
+        )(*gseg_blocks)
+        if has_mask:
+            gad = jnp.where(mask, gad / keep, jnp.zeros_like(gad))
+        if has_prologue:
+            u = (xb - mean.astype(dtype)[None, :, None]) \
+                * scale.astype(dtype)[None, :, None] \
+                + shift.astype(dtype)[None, :, None]
+            sig = jax.nn.sigmoid(u.astype(jnp.float32))
+            dsilu = sig * (1.0 + u.astype(jnp.float32) * (1.0 - sig))
+            gu = gad * dsilu
+            g_x = (gu * scale.astype(jnp.float32)[None, :, None]) \
+                .astype(dtype)
+            a_sum = jnp.sum(gu * xb.astype(jnp.float32), axis=(0, 2))
+            b_sum = jnp.sum(gu, axis=(0, 2))
+        else:
+            g_x = gad.astype(dtype)
+    else:
+        g_x = next(it)
+    gw_blocks = [next(it) for _ in range(nseg)]
+    g_w = (gw_blocks[0] if nseg == 1
+           else jnp.concatenate(gw_blocks, axis=0)).astype(w.dtype)
     g_mean = g_scale = g_shift = g_bias = None
     if has_prologue:
         # kernel emits A = sum(gu*x), B = sum(gu); chain rule for
         # u = (x-m)*s + b2: g_s = A - m*B, g_m = -s*B, g_b2 = B
-        a_sum = next(it)[:, 0]
-        b_sum = next(it)[:, 0]
+        if a_sum is None:
+            a_sum = next(it)[:, 0]
+            b_sum = next(it)[:, 0]
         mf = mean.astype(jnp.float32)
         sf = scale.astype(jnp.float32)
         g_mean = (-sf * b_sum).astype(mean.dtype)
@@ -537,7 +682,7 @@ def _join_fwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
         * sh_ref[...].astype(dtype)[:, :1] \
         + th_ref[...].astype(dtype)[:, :1]
     if act_h:
-        a = jax.nn.silu(a).astype(dtype)
+        a = _silu_f32(a, dtype)
     if mask_ref is not None:
         a = jnp.where(mask_ref[0], a / keep, jnp.zeros_like(a))
     r = r_ref[0].astype(dtype)
@@ -545,7 +690,7 @@ def _join_fwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
         r = (r - mr_ref[...].astype(dtype)[:, :1]) \
             * sr_ref[...].astype(dtype)[:, :1] \
             + tr_ref[...].astype(dtype)[:, :1]
-    out_ref[0] = jax.nn.silu(a + r).astype(out_ref.dtype)
+    out_ref[0] = _silu_f32(a + r, out_ref.dtype)
 
 
 def _join_bwd_kernel(*refs, keep: float, has_mask: bool, has_res_norm: bool,
