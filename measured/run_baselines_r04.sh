@@ -8,7 +8,7 @@
 set -e
 cd "$(dirname "$0")/.."
 MODE="${1:-cpu}"
-export PYTHONPATH="$PWD"
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 if [ "$MODE" = cpu ]; then
   export JAX_PLATFORMS=cpu
   exec python -m wiflow_tpu.cli.baseline_table \

@@ -16,7 +16,7 @@ if [ "$MODE" = cpu ]; then
 else
   DTYPE=bfloat16
 fi
-export PYTHONPATH="$PWD"
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 python - <<'EOF'
 import os
