@@ -15,7 +15,15 @@ if [ "$MODE" = cpu ]; then
     --windows 6000 --epochs 6 --batch_size 64 --compute_dtype float32 \
     --output_dir measured/baselines_r04
 else
+  # Per-model recipes (the reference's table is per-recipe too):
+  # - wiflow 30 epochs: its torch-faithful BN has a long eval-lag
+  #   warmup; 8 epochs leaves it at the mean-pose floor.
+  # - wisppn/perunet batch 32: the 121M/309M-param upsampling models
+  #   exhaust v5e HBM at batch 128 (measured RESOURCE_EXHAUSTED).
+  # - wpformer batch 64: 18 ResNet34 streams, [B,256,15,144] concat.
   exec python -m wiflow_tpu.cli.baseline_table \
     --windows 20000 --epochs 8 --batch_size 128 \
+    --per_model_epochs wiflow=30,wisppn=6,perunet=6 \
+    --per_model_batch wisppn=32,perunet=32,wpformer=64 \
     --output_dir measured/baselines_r04
 fi
