@@ -52,14 +52,23 @@ def main(argv=None) -> int:
                    help="name=B,name=B overrides — WiSPPN/PerUnet "
                         "upsample to 120x120/24x24 with 121M/309M params "
                         "and exhaust HBM at the shared batch size")
+    p.add_argument("--per_model_lr", type=str, default="",
+                   help="name=LR overrides — at demo scale (14k train "
+                        "windows) the flagship's BN eval-lag warmup "
+                        "plateaus val-MPE early and the reference's "
+                        "ReduceLROnPlateau recipe cuts lr to the floor "
+                        "before learning starts; a larger step escapes "
+                        "the warmup (same diagnosis as the depthwise "
+                        "ablation row, measured/ablations_r04)")
     args = p.parse_args(argv)
 
-    def _parse_overrides(s):
-        return {k: int(v) for k, v in
+    def _parse_overrides(s, cast):
+        return {k: cast(v) for k, v in
                 (kv.split("=") for kv in s.split(",") if kv)}
 
-    epochs_by = _parse_overrides(args.per_model_epochs)
-    batch_by = _parse_overrides(args.per_model_batch)
+    epochs_by = _parse_overrides(args.per_model_epochs, int)
+    batch_by = _parse_overrides(args.per_model_batch, int)
+    lr_by = _parse_overrides(args.per_model_lr, float)
     from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
@@ -92,8 +101,23 @@ def main(argv=None) -> int:
     pam_splits = {k: (x, keypoints_to_pam(jax.device_get(y)))
                   for k, (x, y) in splits.items()}
 
-    rows = []
-    for name in args.models.split(","):
+    # merge with rows from earlier invocations so a single-model rerun
+    # (e.g. a retuned flagship) refreshes its row without clobbering the
+    # rest of the table
+    run_names = args.models.split(",")
+    prior = {}
+    summary_path = os.path.join(args.output_dir, "comparison_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path, encoding="utf-8") as fd:
+            prior = {r["model"]: r for r in json.load(fd).get("rows", [])
+                     if r["model"] not in run_names}
+    rows = [prior[m] for m in MODELS if m in prior]
+
+    def _ordered(rs):
+        order = {m: i for i, m in enumerate(MODELS)}
+        return sorted(rs, key=lambda r: order.get(r["model"], 99))
+
+    for name in run_names:
         run_dir = os.path.join(args.output_dir, name)
         os.makedirs(run_dir, exist_ok=True)
         n_ep = epochs_by.get(name, args.epochs)
@@ -101,13 +125,15 @@ def main(argv=None) -> int:
         kwargs = {}
         if name == "wiflow":
             model = None       # loop builds the flagship from cfg.model
-            optim = OptimConfig(lr=1e-4, weight_decay=5e-5)
+            optim = OptimConfig(lr=lr_by.get(name, 1e-4),
+                                weight_decay=5e-5)
             parts = splits
         else:
             spec = BASELINE_SPECS[name]
             model = build_model(name, args.compute_dtype)
             optim = OptimConfig(
-                lr=spec["lr"], kind=spec["kind"], schedule=spec["schedule"],
+                lr=lr_by.get(name, spec["lr"]), kind=spec["kind"],
+                schedule=spec["schedule"],
                 weight_decay=spec.get("weight_decay", 0.0),
                 milestones=spec.get("milestones", (20, 40)),
                 gamma=spec.get("gamma", 0.1),
@@ -159,15 +185,14 @@ def main(argv=None) -> int:
             "flops_g": (round(flops / 1e9, 3) if flops else None),
             "wall_clock_min": round(wall / 60, 2),
         }
-        rows.append(row)
+        rows = _ordered([r for r in rows if r["model"] != name] + [row])
         print(f"[{name}] PCK@20 {row['pck20']}% MPJPE {row['mpjpe_m']} m "
               f"{row['params_m']}M params ({row['wall_clock_min']} min)",
               flush=True)
 
         # write after every model: a killed multi-hour run still leaves
         # a valid table of the models that finished
-        out = os.path.join(args.output_dir, "comparison_summary.json")
-        with open(out, "w", encoding="utf-8") as fd:
+        with open(summary_path, "w", encoding="utf-8") as fd:
             json.dump({"windows": n, "epochs": args.epochs,
                        "batch_size": args.batch_size,
                        "backend": jax.default_backend(),
@@ -180,8 +205,10 @@ def main(argv=None) -> int:
         for r in rows:
             md.append(f"| {r['model']} | {r['pck20']} | {r['pck30']} | "
                       f"{r['pck40']} | {r['pck50']} | {r['mpjpe_m']} | "
-                      f"{r['params_m']} | {r['flops_g']} | {r['epochs']} | "
-                      f"{r['batch_size']} | {r['wall_clock_min']} |")
+                      f"{r['params_m']} | {r['flops_g']} | "
+                      f"{r.get('epochs', args.epochs)} | "
+                      f"{r.get('batch_size', args.batch_size)} | "
+                      f"{r['wall_clock_min']} |")
         md.append("")
         md.append(f"Shared synthetic dataset ({n} windows); structure "
                   "mirrors the reference Setting-1 table (ref "
