@@ -130,3 +130,34 @@ def test_augmentation_path_runs(tiny_config, tiny_splits, tmp_path):
                            tiny_splits["test"], cfg,
                            str(tmp_path / "aug"), verbose=False)
     assert np.isfinite(res.history["train_loss"][-1])
+
+
+def test_segment_sizes_invariants():
+    from wiflow_tpu.train.loop import _segment_sizes
+
+    # divisor case: one uniform program shape
+    assert _segment_sizes(875, 125) == [125] * 7
+    for n, k in ((875, 100), (7, 3), (11, 5), (1000, 128), (3, 8)):
+        sizes = _segment_sizes(n, k)
+        assert sum(sizes) == n
+        assert max(sizes) <= max(k, sizes[0])  # near-even fallback may
+        assert len(set(sizes)) <= 2            # use at most 2 shapes
+        assert all(s > 0 for s in sizes)
+
+
+def test_chunked_epoch_scan_runs(tiny_config, tiny_splits, tmp_path):
+    """max_steps_per_call splits the epoch into several scan executions
+    (the guard for giant models whose single multi-minute execution can
+    trip backend watchdogs) — training still learns and the history has
+    one entry per epoch."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, num_epochs=2,
+                                  scan_epochs=True,
+                                  max_steps_per_call=2))
+    res = train_pose_model(tiny_splits["train"], tiny_splits["val"],
+                           tiny_splits["test"], cfg,
+                           str(tmp_path / "chunked"), verbose=False)
+    assert len(res.history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in res.history["train_loss"])
+    assert np.isfinite(res.test_metrics["mpe"])

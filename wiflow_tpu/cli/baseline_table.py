@@ -60,6 +60,11 @@ def main(argv=None) -> int:
                         "before learning starts; a larger step escapes "
                         "the warmup (same diagnosis as the depthwise "
                         "ablation row, measured/ablations_r04)")
+    p.add_argument("--max_steps_per_call", type=int, default=0,
+                   help="bound each epoch-scan execution to this many "
+                        "steps (TrainConfig.max_steps_per_call) — giant "
+                        "models' multi-minute single executions can trip "
+                        "backend watchdogs")
     args = p.parse_args(argv)
 
     def _parse_overrides(s, cast):
@@ -150,6 +155,7 @@ def main(argv=None) -> int:
             train=TrainConfig(batch_size=bsz,
                               num_epochs=n_ep, patience=10 ** 6,
                               seed=args.seed, data_dtype=data_dtype,
+                              max_steps_per_call=args.max_steps_per_call,
                               optim=optim),
             mesh=MeshConfig(num_devices=1), output_dir=run_dir)
         t0 = time.time()

@@ -189,6 +189,12 @@ class TrainConfig:
     # run the epoch as one jitted lax.scan over batches (fast path) instead
     # of a per-batch python loop
     scan_epochs: bool = True
+    # 0 = whole epoch in one lax.scan execution.  For giant models
+    # (WiSPPN: 338 GFLOP/sample) a single multi-minute device execution
+    # can trip backend/relay watchdogs ("TPU worker process crashed");
+    # a bound splits the epoch into several scan calls of at most this
+    # many steps (per-segment RNG streams, step-weighted metric means)
+    max_steps_per_call: int = 0
     checkpoint_every_epoch: bool = True     # full-resume bundle
 
 

@@ -94,6 +94,19 @@ def _stage(mesh, arrays: Tuple[np.ndarray, np.ndarray],
             jax.device_put(jnp.asarray(y, jnp.float32), sh), n)
 
 
+def _segment_sizes(n_steps: int, k_max: int) -> list:
+    """Split ``n_steps`` into scan segments of at most ``k_max`` steps,
+    preferring one uniform size (a single compiled program shape): the
+    largest divisor of ``n_steps`` that is <= k_max, if one exists above
+    k_max/2; otherwise near-even sizes (two program shapes)."""
+    for d in range(k_max, max(1, k_max // 2), -1):
+        if n_steps % d == 0:
+            return [d] * (n_steps // d)
+    n_seg = -(-n_steps // k_max)
+    base, extra = divmod(n_steps, n_seg)
+    return [base + 1] * extra + [base] * (n_seg - extra)
+
+
 def train_pose_model(
     train_data: Tuple[np.ndarray, np.ndarray],
     val_data: Tuple[np.ndarray, np.ndarray],
@@ -204,12 +217,31 @@ def train_pose_model(
         batch_idx = make_batch_indices(n_train, batch, perm)
 
         t0 = time.time()
-        state, tm = train_epoch(state, train_x, train_y, batch_idx,
-                                jax.random.fold_in(ekey, 1),
-                                tc.use_augmentation and epoch > 0)
+        aug = tc.use_augmentation and epoch > 0
+        if tc.max_steps_per_call and \
+                batch_idx.shape[0] > tc.max_steps_per_call:
+            # bounded scan segments (see TrainConfig.max_steps_per_call);
+            # each segment gets its own RNG stream, metrics are
+            # step-weighted means
+            sizes = _segment_sizes(batch_idx.shape[0],
+                                   tc.max_steps_per_call)
+            seg_ms, off = [], 0
+            for si, sz in enumerate(sizes):
+                state, m = train_epoch(state, train_x, train_y,
+                                       batch_idx[off:off + sz],
+                                       jax.random.fold_in(ekey, 1 + si),
+                                       aug)
+                seg_ms.append(jax.device_get(m))
+                off += sz
+            tm = {k: float(np.average([m[k] for m in seg_ms],
+                                      weights=sizes))
+                  for k in seg_ms[0]}
+        else:
+            state, tm = train_epoch(state, train_x, train_y, batch_idx,
+                                    jax.random.fold_in(ekey, 1), aug)
+            tm = jax.device_get(tm)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        tm = jax.device_get(tm)
         if n_val > 0:
             vm, _ = eval_epoch(variables, val_x, val_y, val_idx)
             vm = jax.device_get(vm)
