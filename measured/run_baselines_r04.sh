@@ -16,14 +16,23 @@ if [ "$MODE" = cpu ]; then
     --output_dir measured/baselines_r04
 else
   # Per-model recipes (the reference's table is per-recipe too):
-  # - wiflow 30 epochs: its torch-faithful BN has a long eval-lag
-  #   warmup; 8 epochs leaves it at the mean-pose floor.
+  # - wiflow 30 epochs + lr 3e-4: its torch-faithful BN has a long
+  #   eval-lag warmup; 8 epochs at lr 1e-4 leaves it at the mean-pose
+  #   floor at this 14k-train-window scale (same remedy as the
+  #   depthwise ablation row, measured/ablations_r04).
   # - wisppn/perunet batch 32: the 121M/309M-param upsampling models
   #   exhaust v5e HBM at batch 128 (measured RESOURCE_EXHAUSTED).
   # - wpformer batch 64: 18 ResNet34 streams, [B,256,15,144] concat.
+  # - model order: cheap rows first so a wall-clock kill still leaves
+  #   the richest partial table (rows persist after every model).
+  # - max_steps_per_call 100 bounds each device execution so the giant
+  #   models' multi-minute scans can't trip backend watchdogs.
   exec python -m wiflow_tpu.cli.baseline_table \
     --windows 20000 --epochs 8 --batch_size 128 \
+    --models wiflow,hpeli,wpformer,perunet,wisppn \
     --per_model_epochs wiflow=30,wisppn=6,perunet=6 \
     --per_model_batch wisppn=32,perunet=32,wpformer=64 \
+    --per_model_lr wiflow=3e-4 \
+    --max_steps_per_call 100 \
     --output_dir measured/baselines_r04
 fi
