@@ -92,9 +92,8 @@ def test_performer_attention_unbiasedness():
     exact = PerformerAttention(64, heads=2, dim_head=16, exact=True)
     favor = PerformerAttention(64, heads=2, dim_head=16, exact=False)
     v = exact.init({"params": jax.random.key(0)}, x)
-    vf = favor.init({"params": jax.random.key(0)}, x)
     out_exact = exact.apply(v, x)
-    out_favor = favor.apply({"params": v["params"], "favor": vf["favor"]}, x)
+    out_favor = favor.apply({"params": v["params"]}, x)
     err = float(jnp.mean(jnp.abs(out_exact - out_favor)))
     scale = float(jnp.mean(jnp.abs(out_exact))) + 1e-6
     assert err / scale < 0.15, (err, scale)
@@ -113,6 +112,100 @@ def test_pam_roundtrip_and_loss():
     assert float(loss) == 0.0
     loss2, _ = pam_confidence_mse(pred + 0.1, jnp.asarray(pam))
     np.testing.assert_allclose(float(loss2), 0.01, rtol=1e-4)
+
+
+def test_pam_keypoint_loss_reference_semantics():
+    """WPformer's loss: confidence-weighted MSE on DIAGONAL keypoints
+    (ref baseline/WPformer/model.py:504-525, 968-974) — pred is
+    [B, K, D] keypoints, not a PAM."""
+    from wiflow_tpu.data.pam import pam_diag_keypoints, pam_keypoint_mse
+
+    rng = np.random.default_rng(3)
+    kp = rng.standard_normal((4, 15, 2)).astype(np.float32)
+    lab = jnp.asarray(keypoints_to_pam(kp))            # [4, 4, 15, 15]
+    pred = jnp.asarray(
+        rng.standard_normal((4, 15, 2)).astype(np.float32))
+    loss, _ = pam_keypoint_mse(pred, lab)
+    np.testing.assert_allclose(
+        float(loss), np.mean((np.asarray(pred) - kp) ** 2), rtol=1e-5)
+    # reference-style [B, 3, K, K] label, confidence 0.5 in channel 2
+    lab3 = jnp.asarray(np.concatenate(
+        [np.asarray(lab)[:, :2],
+         np.full((4, 1, 15, 15), 0.5, np.float32)], axis=1))
+    loss3, _ = pam_keypoint_mse(pred, lab3)
+    np.testing.assert_allclose(
+        float(loss3), 0.25 * np.mean((np.asarray(pred) - kp) ** 2),
+        rtol=1e-5)
+    p, t = pam_diag_keypoints(pred, lab)
+    assert p is pred
+    np.testing.assert_allclose(np.asarray(t), kp, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_perunet_favor_smoke_training(tmp_path):
+    """E2e train of a tiny PerUnet with FAVOR+ attention (regression:
+    the random projection was once a 'favor' flax collection the train
+    engine dropped, crashing at the first train-mode apply)."""
+    from wiflow_tpu.core.config import (
+        Config, MeshConfig, OptimConfig, TrainConfig,
+    )
+    from wiflow_tpu.train.loop import train_pose_model
+
+    rng = np.random.default_rng(0)
+    def mk(n):
+        kp = rng.standard_normal((n, 15, 2)).astype(np.float32) * 0.1
+        csi = rng.standard_normal((n, 540, 20)).astype(np.float32)
+        return csi, keypoints_to_pam(kp)
+    model = PerUnet(base=24, performer_exact=False,
+                    compute_dtype="float32")
+    cfg = Config(train=TrainConfig(
+        batch_size=8, num_epochs=1, scan_epochs=False,
+        optim=OptimConfig(lr=1e-3, kind="adam", schedule="multistep",
+                          milestones=(1,), gamma=0.5)),
+        mesh=MeshConfig(num_devices=2))
+    res = train_pose_model(mk(16), mk(8), mk(8), cfg,
+                           str(tmp_path / "perunet"), model=model,
+                           resume=False, loss_fn=pam_confidence_mse,
+                           to_keypoints=pam_to_keypoints, verbose=False)
+    assert np.isfinite(res.history["train_loss"][-1])
+    assert res.predictions.shape[1:] == (15, 2)
+
+
+@pytest.mark.slow
+def test_wpformer_pam_keypoint_smoke_training(tmp_path):
+    """E2e train of a tiny WPformer through the PAM-label dispatch
+    (regression: the full-PAM loss was once wired to this
+    keypoint-output model and crashed on shape mismatch)."""
+    from wiflow_tpu.cli.run_baseline import BASELINE_SPECS
+    from wiflow_tpu.core.config import (
+        Config, MeshConfig, OptimConfig, TrainConfig,
+    )
+    from wiflow_tpu.data.pam import pam_train_kwargs
+    from wiflow_tpu.train.loop import train_pose_model
+
+    rng = np.random.default_rng(0)
+    def mk(n):
+        kp = rng.standard_normal((n, 15, 2)).astype(np.float32) * 0.1
+        csi = rng.standard_normal((n, 540, 20)).astype(np.float32)
+        return csi, keypoints_to_pam(kp)
+    # the keypoint count is the trunk's output height: one stride-2
+    # stage after (30, 16) input -> fh = 15 keypoints
+    model = WPformer(num_chunks=2, resize_to=(30, 16),
+                     trunk_widths=(8, 16), trunk_blocks=(1, 1),
+                     heads=1, compute_dtype="float32")
+    spec = BASELINE_SPECS["wpformer"]
+    cfg = Config(train=TrainConfig(
+        batch_size=8, num_epochs=1, scan_epochs=False,
+        optim=OptimConfig(lr=1e-3, kind=spec["kind"],
+                          schedule=spec["schedule"], decay_start=1,
+                          decay_end=2)),
+        mesh=MeshConfig(num_devices=2))
+    res = train_pose_model(mk(32), mk(8), mk(8), cfg,
+                           str(tmp_path / "wpformer"), model=model,
+                           resume=False, verbose=False,
+                           **pam_train_kwargs(spec))
+    assert np.isfinite(res.history["train_loss"][-1])
+    assert res.predictions.shape[1:] == (15, 2)
 
 
 def test_extract_keypoints_matches_torch_loop():

@@ -10,10 +10,11 @@ the measured table — demonstrating the four baseline train recipes
 
 PAM-labeled models (WPformer/WiSPPN/PerUnet) train on PAMs synthesized
 from the keypoints (diagonal = coords, unit confidence — the real
-wisppn_labels{N} matrices don't exist off the authors' disk) and are
-evaluated on the keypoints extracted back from their predicted PAM
-diagonals, mirroring the reference's eval (baseline/WiSPPN/
-wisppn.py:396-418).
+wisppn_labels{N} matrices don't exist off the authors' disk).
+WiSPPN/PerUnet predict full PAMs and are evaluated on the keypoints
+extracted back from their predicted diagonals (ref baseline/WiSPPN/
+wisppn.py:396-418); WPformer predicts keypoints directly and trains on
+the label diagonal (ref baseline/WPformer/model.py:968-974).
 
 Usage:
   python -m wiflow_tpu.cli.baseline_table --windows 20000 --epochs 8 \
@@ -84,9 +85,7 @@ def main(argv=None) -> int:
     from wiflow_tpu.core.config import (
         Config, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
     )
-    from wiflow_tpu.data.pam import (
-        keypoints_to_pam, pam_confidence_mse, pam_to_keypoints,
-    )
+    from wiflow_tpu.data.pam import keypoints_to_pam, pam_train_kwargs
     from wiflow_tpu.train.loop import train_pose_model
     from wiflow_tpu.utils.flops import xla_flops
 
@@ -146,8 +145,7 @@ def main(argv=None) -> int:
                 decay_end=spec.get("decay_end", n_ep))
             if spec["labels"] == "pam":
                 parts = pam_splits
-                kwargs = dict(loss_fn=pam_confidence_mse,
-                              to_keypoints=pam_to_keypoints)
+                kwargs = pam_train_kwargs(spec)
             else:
                 parts = splits
         cfg = Config(

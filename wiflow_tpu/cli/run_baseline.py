@@ -34,8 +34,11 @@ BASELINE_SPECS = {
                    lr=1e-3, milestones=(10, 15, 20, 25, 30), gamma=0.5),
     "perunet": dict(labels="pam", kind="adam", schedule="multistep",
                     lr=1e-3, milestones=(10, 20, 30, 40), gamma=0.5),
-    "wpformer": dict(labels="pam", kind="sgd", schedule="linear_decay",
-                     lr=1e-3, decay_start=20, decay_end=50),
+    # wpformer outputs KEYPOINTS [B, K, 2]; its PAM labels supply
+    # diagonal coords + confidence for a keypoint MSE (model.py:968-974)
+    "wpformer": dict(labels="pam", pam_target="keypoints", kind="sgd",
+                     schedule="linear_decay", lr=1e-3, decay_start=20,
+                     decay_end=50),
 }
 
 
@@ -89,8 +92,7 @@ def main(argv=None) -> int:
     from wiflow_tpu.core.config import Config, MeshConfig, OptimConfig, TrainConfig
     from wiflow_tpu.data.dataset import CSIKeypointsDataset
     from wiflow_tpu.data.pam import (
-        keypoints_to_pam, load_pam_labels_for_windows, pam_confidence_mse,
-        pam_to_keypoints,
+        keypoints_to_pam, load_pam_labels_for_windows, pam_train_kwargs,
     )
     from wiflow_tpu.data.splits import expand_to_samples, file_level_split
     from wiflow_tpu.eval.artifacts import write_all_artifacts
@@ -153,10 +155,7 @@ def main(argv=None) -> int:
                           optim=optim),
         mesh=MeshConfig(), output_dir=args.output_dir)
 
-    kwargs = {}
-    if use_pam:
-        kwargs = dict(loss_fn=pam_confidence_mse,
-                      to_keypoints=pam_to_keypoints)
+    kwargs = pam_train_kwargs(spec)
 
     result = train_pose_model(parts["train"], parts["val"], parts["test"],
                               cfg, args.output_dir,

@@ -68,6 +68,48 @@ def pam_confidence_mse(pred: jax.Array, label: jax.Array):
     return loss, {"position": loss, "bone": jnp.zeros((), jnp.float32)}
 
 
+def pam_keypoint_mse(pred: jax.Array, label: jax.Array):
+    """Confidence-weighted MSE on keypoints extracted from the PAM
+    diagonal, for PAM-labeled KEYPOINT regressors (WPformer: the model
+    outputs [B, K, D] keypoints; the reference extracts the diagonal
+    coords + confidence from the [B, 3, K, K] label and weights the
+    keypoint MSE — ref baseline/WPformer/model.py:504-525, 968-974).
+
+    ``label`` [B, >=D+1, K, K]: coords in the first D channels,
+    confidence in the rest (the reference's channel 2; a single
+    confidence value broadcasts across coords, model.py:516,523).
+    """
+    d = pred.shape[-1]
+    diag = jnp.diagonal(label, axis1=-2, axis2=-1)          # [B, C_l, K]
+    kp = jnp.swapaxes(diag[:, :d], -1, -2).astype(jnp.float32)
+    conf = jnp.swapaxes(diag[:, d:], -1, -2)[..., :1]       # [B, K, 1]
+    conf = conf.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    loss = jnp.mean((conf * pred - conf * kp) ** 2)
+    return loss, {"position": loss, "bone": jnp.zeros((), jnp.float32)}
+
+
+def pam_diag_keypoints(pred: jax.Array, label: jax.Array):
+    """(pred keypoints, PAM label) -> (pred kp, target kp): eval adapter
+    for keypoint-output models trained on PAM labels (WPformer)."""
+    d = pred.shape[-1]
+    td = jnp.diagonal(label[:, :d], axis1=-2, axis2=-1)
+    return pred, jnp.swapaxes(td, -1, -2)
+
+
+def pam_train_kwargs(spec: dict) -> dict:
+    """``train_pose_model`` kwargs for a baseline spec's label type:
+    full-matrix confidence MSE for PAM-output models (WiSPPN/PerUnet,
+    ref wisppn.py:978-1000) vs diagonal-keypoint confidence MSE for
+    keypoint-output models (WPformer, ref model.py:968-974)."""
+    if spec["labels"] != "pam":
+        return {}
+    if spec.get("pam_target") == "keypoints":
+        return dict(loss_fn=pam_keypoint_mse,
+                    to_keypoints=pam_diag_keypoints)
+    return dict(loss_fn=pam_confidence_mse, to_keypoints=pam_to_keypoints)
+
+
 def pam_to_keypoints(pred: jax.Array, label: jax.Array):
     """(pred PAM, PAM label) -> (pred kp, target kp) via diagonals."""
     c = pred.shape[1]

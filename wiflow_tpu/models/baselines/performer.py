@@ -90,12 +90,14 @@ class PerformerAttention(nn.Module):
             att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             out = jnp.einsum("bhnm,bhmd->bhnd", att.astype(x.dtype), v)
         else:
-            # fixed (redrawable) random projection, stored as a variable
-            proj_var = self.variable(
-                "favor", "projection",
-                lambda: orthogonal_random_features(
-                    jax.random.key(0), self.num_features, dh))
-            proj = proj_var.value
+            # fixed random projection: a deterministic compile-time
+            # constant (XLA folds it), NOT a flax variable — the train
+            # engine threads only params/batch_stats, and the reference
+            # path never redraws (performer_pytorch's redraw interval is
+            # unused by PerUnet's training loop, ref baseline/PerUnet/
+            # perunet.py:1021-1070)
+            proj = orthogonal_random_features(
+                jax.random.key(0), self.num_features, dh)
             qf = favor_features(q.astype(jnp.float32), proj, is_query=True)
             kf = favor_features(k.astype(jnp.float32), proj, is_query=False)
             # linear attention: phi(q) (phi(k)^T v) / (phi(q) sum phi(k))
