@@ -36,8 +36,8 @@ STEPS_PER_EPOCH = TRAIN_N // TRAIN_BATCH
 BENCH_STEPS = 328          # timed sub-epoch; scaled to STEPS_PER_EPOCH
 
 
-def timed_scan_sec(op, x0, k: int, reps: int = 3) -> float:
-    """Wall-clock of k data-chained iterations of op inside one jit."""
+def _compile_scan(op, x0, k: int):
+    """One jitted program: k data-chained iterations of op + scalar fetch."""
     @jax.jit
     def run(x):
         def body(c, _):
@@ -45,12 +45,50 @@ def timed_scan_sec(op, x0, k: int, reps: int = 3) -> float:
         out, _ = jax.lax.scan(body, x, None, length=k)
         return jnp.sum(out[:1, :1])
     float(run(x0))  # compile + warm
+    return run
+
+
+def _timed_sec(run, x0, reps: int = 3) -> float:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run(x0))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def scan_slope_sec(op, x0, k_lo: int = 4, k_hi: int = 24,
+                   n_slopes: int = 3, max_slopes: int = 7,
+                   spread_tol: float = 0.10):
+    """Median per-iteration seconds from INDEPENDENT (t_lo, t_hi) slope
+    estimates, with a variance guard (VERDICT r4 item 1).
+
+    The old two-point form ((t_hi-t_lo)/(k_hi-k_lo), one min-of-3 pair)
+    had no guard: one noisy t_lo swings the slope arbitrarily, which is
+    the suspected cause of the 2.6x MM-Fi spread between BENCH_r02
+    (252k) and BENCH_r04 (96k).  Here each slope comes from a fresh
+    (t_lo, t_hi) pair; if the relative spread (max-min)/median exceeds
+    ``spread_tol``, more estimates are drawn (up to ``max_slopes``) and
+    the median of all of them is reported together with the final
+    spread, so the record itself says how trustworthy it is.
+
+    Returns (per_iter_sec, rel_spread, n_used).
+    """
+    run_lo = _compile_scan(op, x0, k_lo)
+    run_hi = _compile_scan(op, x0, k_hi)
+    slopes = []
+    while len(slopes) < max_slopes:
+        t_lo = _timed_sec(run_lo, x0)
+        t_hi = _timed_sec(run_hi, x0)
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+        if len(slopes) >= n_slopes:
+            med = float(np.median(slopes))
+            spread = (max(slopes) - min(slopes)) / med if med > 0 else float("inf")
+            if spread <= spread_tol:
+                break
+    med = float(np.median(slopes))
+    spread = (max(slopes) - min(slopes)) / med if med > 0 else float("inf")
+    return med, spread, len(slopes)
 
 
 def serving_windows_per_sec() -> float:
@@ -70,11 +108,8 @@ def serving_windows_per_sec() -> float:
         out = fast_forward(variables, xc, cfg)
         return xc + 0.0 * jnp.sum(out)   # chain iterations
 
-    k_lo, k_hi = 4, 24
-    t_lo = timed_scan_sec(op, x, k_lo)
-    t_hi = timed_scan_sec(op, x, k_hi)
-    per_batch = (t_hi - t_lo) / (k_hi - k_lo)
-    return batch / per_batch
+    per_batch, spread, n_used = scan_slope_sec(op, x)
+    return batch / per_batch, spread, n_used
 
 
 def mmfi_frames_per_sec() -> float:
@@ -94,10 +129,8 @@ def mmfi_frames_per_sec() -> float:
         out = fast_forward_mmfi(variables, xc, cfg)
         return xc + 0.0 * jnp.sum(out)
 
-    k_lo, k_hi = 4, 24
-    t_lo = timed_scan_sec(op, x, k_lo)
-    t_hi = timed_scan_sec(op, x, k_hi)
-    return batch / ((t_hi - t_lo) / (k_hi - k_lo))
+    per_batch, spread, n_used = scan_slope_sec(op, x)
+    return batch / per_batch, spread, n_used
 
 
 def train_epoch_seconds() -> float:
@@ -229,7 +262,7 @@ def main() -> None:
         }), flush=True)
         return
 
-    wps = serving_windows_per_sec()
+    wps, wps_spread, wps_n = serving_windows_per_sec()
     record = {
         "metric": "csi_windows_per_sec_per_chip",
         "value": round(wps, 1),
@@ -238,15 +271,18 @@ def main() -> None:
     }
     print(json.dumps(record), flush=True)
 
-    extra = {}
+    extra = {"serving_slope_spread": round(wps_spread, 3),
+             "serving_slope_n": wps_n}
     try:
         sps = stream_windows_per_sec()
         extra["stream_windows_per_sec_per_chip"] = round(sps, 1)
     except Exception as e:        # keep the primary metric alive
         extra["stream_error"] = repr(e)[:200]
     try:
-        fps = mmfi_frames_per_sec()
+        fps, fps_spread, fps_n = mmfi_frames_per_sec()
         extra["mmfi_frames_per_sec_per_chip"] = round(fps, 1)
+        extra["mmfi_slope_spread"] = round(fps_spread, 3)
+        extra["mmfi_slope_n"] = fps_n
     except Exception as e:
         extra["mmfi_error"] = repr(e)[:200]
     try:

@@ -23,8 +23,9 @@ else
   # - wisppn/perunet batch 32: the 121M/309M-param upsampling models
   #   exhaust v5e HBM at batch 128 (measured RESOURCE_EXHAUSTED).
   # - wpformer batch 64: 18 ResNet34 streams, [B,256,15,144] concat.
-  # - model order: cheap rows first so a wall-clock kill still leaves
-  #   the richest partial table (rows persist after every model).
+  # - model order: the flagship row runs first by priority, then the
+  #   cheap baselines before the HBM-heavy giants — rows persist after
+  #   every model, so a wall-clock kill still leaves a useful table.
   # - max_steps_per_call 100 bounds each device execution so the giant
   #   models' multi-minute scans can't trip backend watchdogs.
   exec python -m wiflow_tpu.cli.baseline_table \

@@ -54,6 +54,16 @@ def main(argv=None) -> int:
                         "than the grouped recipe's 1e-4; the r3 table's "
                         "collapse was the plateau scheduler strangling "
                         "an under-stepped run to min-lr)")
+    p.add_argument("--synth_mode", choices=["linear", "multipath"],
+                   default="multipath",
+                   help="synthetic CSI observation model (see "
+                        "convergence_demo.synth_windows). 'linear' is "
+                        "per-frame invertible and cannot reward temporal/"
+                        "cross-subcarrier modeling — the r4 table's "
+                        "reversed ordering; 'multipath' encodes pose in "
+                        "wrapped (cosine) path delays + Doppler "
+                        "amplitude, the structure the architecture "
+                        "targets")
     args = p.parse_args(argv)
     from wiflow_tpu.core.jax_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
@@ -69,11 +79,12 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     n = args.windows
     n_tr, n_va = int(n * 0.7), int(n * 0.15)
-    train = synth_windows(n_tr, args.seed)
-    val = synth_windows(n_va, args.seed + 101)
-    test = synth_windows(n - n_tr - n_va, args.seed + 202)
+    train = synth_windows(n_tr, args.seed, mode=args.synth_mode)
+    val = synth_windows(n_va, args.seed + 101, mode=args.synth_mode)
+    test = synth_windows(n - n_tr - n_va, args.seed + 202,
+                         mode=args.synth_mode)
     print(f"[data] {n} windows (train {n_tr} / val {n_va} / "
-          f"test {n - n_tr - n_va})")
+          f"test {n - n_tr - n_va}), synth_mode={args.synth_mode}")
 
     rows = []
     wanted = set(args.variants.split(","))

@@ -87,7 +87,7 @@ def main(argv=None) -> int:
     )
     from wiflow_tpu.data.pam import keypoints_to_pam, pam_train_kwargs
     from wiflow_tpu.train.loop import train_pose_model
-    from wiflow_tpu.utils.flops import xla_flops
+    from wiflow_tpu.utils.flops import jaxpr_flops, xla_flops
 
     os.makedirs(args.output_dir, exist_ok=True)
     n = args.windows
@@ -163,18 +163,31 @@ def main(argv=None) -> int:
         wall = time.time() - t0
         params = sum(x.size for x in
                      jax.tree.leaves(result.variables["params"]))
-        flops = None
+        flops, flops_note = None, None
+        mdl = model
+        if mdl is None:
+            from wiflow_tpu.models.wiflow import WiFlowPoseModel
+            mdl = WiFlowPoseModel(cfg.model)
+        x1 = jax.numpy.zeros((1,) + tuple(parts["test"][0].shape[1:]),
+                             jax.numpy.float32)
+        fwd = lambda xx: mdl.apply(result.variables, xx, train=False)
         try:
-            mdl = model
-            if mdl is None:
-                from wiflow_tpu.models.wiflow import WiFlowPoseModel
-                mdl = WiFlowPoseModel(cfg.model)
-            x1 = jax.numpy.zeros((1,) + tuple(parts["test"][0].shape[1:]),
-                                 jax.numpy.float32)
-            flops = xla_flops(
-                lambda xx: mdl.apply(result.variables, xx, train=False), x1)
+            flops = xla_flops(fwd, x1)
+            if flops is None:
+                flops_note = "XLA cost analysis reported no flops"
         except Exception as e:
-            print(f"[{name}] flops unavailable: {e!r}")
+            flops_note = f"XLA cost analysis failed: {e!r:.120}"
+        if flops is None:
+            # analytic matmul/conv count from the jaxpr (no compile) —
+            # no bare None cells (VERDICT r4 weak #5)
+            try:
+                flops = jaxpr_flops(fwd, x1)
+                flops_note = (flops_note or "") + "; analytic jaxpr count"
+            except Exception as e:
+                flops_note = (flops_note or "") + \
+                    f"; jaxpr count failed too: {e!r:.120}"
+        if flops_note:
+            print(f"[{name}] flops note: {flops_note}")
         tm = result.test_metrics
         row = {
             "model": name,

@@ -30,12 +30,29 @@ import time
 def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
                   window: int = 20, keypoints: int = 15,
                   chunk: int = 15_000, mix_seed: int = 7,
-                  subject: int = 0):
+                  subject: int = 0, mode: str = "linear"):
     """On-device [n, 540, 20] CSI windows + [n, 15, 2] last-frame poses.
 
     Mirrors data/synthetic.py's generative structure: per-window smooth
-    pose trajectories (sums of random sinusoids), velocity features, one
-    global mixing map into subcarrier space, additive noise.
+    pose trajectories (sums of random sinusoids), then a CSI observation
+    model selected by ``mode``:
+
+    * ``'linear'`` (default, rounds 1-4): one global LINEAR mixing map of
+      [pose, velocity] into subcarrier space + noise.  Instantaneously
+      invertible per frame — a plain per-frame encoder can solve it, so
+      this mode cannot reward temporal or cross-subcarrier modeling.
+    * ``'multipath'`` (VERDICT r4 item 6): motion-modulated multipath.
+      Each of P scatter paths has a pose-dependent delay
+      tau_p(t) = w_p . kp(t); subcarrier c observes
+      sum_p A_p(t) cos(omega_c tau_p(t) + phi_p) with per-subcarrier
+      wavenumbers omega_c and Doppler-style amplitude modulation
+      A_p(t) = 1 + g (u_p . vel(t)).  The per-frame observation is a
+      WRAPPED (cosine) projection of the pose — many-to-one per
+      subcarrier — so position must be disambiguated by combining
+      subcarriers of different omega_c (cross-subcarrier structure, the
+      axial-attention/grouped-conv axis) and by the temporal smoothness
+      of tau_p(t) (the TCN axis).  This is the WiFi-CSI physics the
+      reference architecture was designed for (ref README.md:13-27).
 
     ``subject`` (1..5, 0 = generic) gives each subject a distinct style —
     shifted movement amplitude/frequency distributions and a CSI gain —
@@ -47,11 +64,23 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
     import jax
     import jax.numpy as jnp
 
+    assert mode in ("linear", "multipath"), mode
     k2 = keypoints * 2
     # the CSI<->pose mapping must be IDENTICAL across splits and subjects
     # (everyone moves in the same radio world); only trajectories vary
     kmix = jax.random.key(mix_seed)
     mix = jax.random.normal(kmix, (2 * k2, num_subcarriers), jnp.float32)
+    n_paths = 8
+    kp_, ku_, ka_, kph_ = jax.random.split(jax.random.fold_in(kmix, 1), 4)
+    # path-delay projections: tau_p ~ N(0, (0.2)^2)-ish over the pose range
+    w_path = jax.random.normal(kp_, (k2, n_paths)) / jnp.sqrt(k2)
+    u_path = jax.random.normal(ku_, (k2, n_paths)) / jnp.sqrt(k2)
+    a_path = 0.7 + 0.6 * jax.random.uniform(ka_, (n_paths,))
+    phi = jax.random.uniform(kph_, (n_paths, num_subcarriers),
+                             maxval=2 * jnp.pi)
+    # wavenumbers: omega tau spans ~[-1, -4]..[1, 4] rad over subcarriers
+    # -> high subcarriers wrap (ambiguous alone), low ones anchor
+    omega = jnp.linspace(4.0, 16.0, num_subcarriers)
     s = subject
     amp_scale = 0.08 * (1.0 + 0.25 * ((s % 3) - 1)) if s else 0.08
     freq_lo = 0.05 + (0.03 * (s - 1) if s else 0.0)
@@ -71,10 +100,24 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
                                    maxval=2 * jnp.pi)
         kp = base + amp * jnp.sin(freq * t + phase)        # [m, T, 30]
         vel = jnp.diff(kp, axis=1, prepend=kp[:, :1])
-        feats = jnp.concatenate([kp, 5.0 * vel], axis=-1)  # [m, T, 60]
-        csi = csi_gain * jnp.einsum("mtf,fc->mtc", feats, mix) \
-            + 0.05 * jax.random.normal(k5, (m, window, num_subcarriers)) \
-            + 1.0
+        if mode == "multipath":
+            tau = jnp.einsum("mtf,fp->mtp", kp, w_path)    # [m, T, P]
+            dop = jnp.einsum("mtf,fp->mtp", 8.0 * vel, u_path)
+            gain = a_path[None, None, :] * (1.0 + jnp.tanh(dop))
+            # accumulate per path: a single [m, T, P, C] intermediate
+            # would be gigabytes at chunk scale; P terms of [m, T, C]
+            # fuse into one elementwise loop under XLA
+            csi = 0.05 * jax.random.normal(
+                k5, (m, window, num_subcarriers)) + 1.0
+            for p in range(n_paths):
+                ang = tau[..., p:p + 1] * omega[None, None, :] \
+                    + phi[None, None, p, :]                # [m, T, C]
+                csi = csi + csi_gain * gain[..., p:p + 1] * jnp.cos(ang)
+        else:
+            feats = jnp.concatenate([kp, 5.0 * vel], axis=-1)  # [m, T, 60]
+            csi = csi_gain * jnp.einsum("mtf,fc->mtc", feats, mix) \
+                + 0.05 * jax.random.normal(
+                    k5, (m, window, num_subcarriers)) + 1.0
         x = jnp.transpose(csi, (0, 2, 1)).astype(jnp.bfloat16)
         y = (kp[:, -1, :].reshape(m, keypoints, 2) + 0.5) \
             .astype(jnp.float32)                            # ~[0, 1] m

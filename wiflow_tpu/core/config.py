@@ -157,6 +157,17 @@ class OptimConfig:
     plateau_threshold: float = 1e-4         # threshold_mode='rel' (torch default)
     plateau_cooldown: int = 1
     min_lr_ratio: float = 1e-3              # min_lr = lr / 1000
+    # Plateau patience expressed in optimizer STEPS.  The torch-faithful
+    # BN eval-lag warmup is step-counted, not epoch-counted, so a fixed
+    # 3-EPOCH patience mis-scales at demo size (a 46-step epoch cuts lr
+    # to the floor before the running stats warm — the round-4 failure
+    # hand-patched three separate times).  Per run the engine uses
+    #   max(plateau_patience, ceil(plateau_patience_steps / steps_per_epoch))
+    # Fixed point = the reference recipe: 252k train windows / batch 64
+    # (ref config.py:18) = 3937 steps/epoch, x3 epochs -> at reference
+    # scale the effective patience is exactly plateau_patience.
+    # None or 0 disables scaling (raw epoch-counted patience).
+    plateau_patience_steps: Optional[int] = 3 * 3937
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +176,11 @@ class TrainConfig:
     grad_accum_steps: int = 1               # effective = batch * accum
     num_epochs: int = 50                    # ref: config.py:19
     patience: int = 5                       # early stop on val MPE, train.py:382
+    # early-stop patience in optimizer STEPS — same mechanism and fixed
+    # point as OptimConfig.plateau_patience_steps (5 x 3937 at reference
+    # scale); per run: max(patience, ceil(patience_steps / steps_per_epoch)).
+    # None or 0 disables scaling.
+    patience_steps: Optional[int] = 5 * 3937
     use_augmentation: bool = False
     seed: int = 42                          # ref: run.py:55
     # val/test loaders use batch//2 and drop_last (ref: train.py:145,155-161,

@@ -65,6 +65,10 @@ class PerformerAttention(nn.Module):
     dim_head: int = 64
     num_features: int = 256
     exact: bool = False
+    # seed for this layer's FAVOR+ projection; each layer in a stack gets
+    # its own so approximation errors are independent across depth (the
+    # reference's performer_pytorch draws per-layer projections too)
+    proj_seed: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -90,14 +94,16 @@ class PerformerAttention(nn.Module):
             att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             out = jnp.einsum("bhnm,bhmd->bhnd", att.astype(x.dtype), v)
         else:
-            # fixed random projection: a deterministic compile-time
-            # constant (XLA folds it), NOT a flax variable — the train
-            # engine threads only params/batch_stats, and the reference
-            # path never redraws (performer_pytorch's redraw interval is
-            # unused by PerUnet's training loop, ref baseline/PerUnet/
-            # perunet.py:1021-1070)
+            # fixed per-layer random projection: a deterministic
+            # compile-time constant (XLA folds it), NOT a flax variable —
+            # the train engine threads only params/batch_stats.  The
+            # reference's performer_pytorch auto-redraws projections every
+            # 1000 forwards (auto_check_redraw); we intentionally omit
+            # redraw — the projection is an unbiased estimator either way,
+            # and a fixed constant keeps the compiled train step pure —
+            # but keep the per-layer independence via proj_seed
             proj = orthogonal_random_features(
-                jax.random.key(0), self.num_features, dh)
+                jax.random.key(self.proj_seed), self.num_features, dh)
             qf = favor_features(q.astype(jnp.float32), proj, is_query=True)
             kf = favor_features(k.astype(jnp.float32), proj, is_query=False)
             # linear attention: phi(q) (phi(k)^T v) / (phi(q) sum phi(k))
@@ -128,7 +134,7 @@ class Performer(nn.Module):
             y = nn.LayerNorm(name=f"ln_att_{i}")(x)
             x = x + PerformerAttention(
                 self.dim, self.heads, self.dim_head, exact=self.exact,
-                name=f"att_{i}")(y)
+                proj_seed=i, name=f"att_{i}")(y)
             y = nn.LayerNorm(name=f"ln_mlp_{i}")(x)
             y = nn.Dense(self.dim * self.mlp_ratio, name=f"mlp_in_{i}")(y)
             y = nn.gelu(y)
