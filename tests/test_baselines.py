@@ -195,16 +195,20 @@ def test_wpformer_pam_keypoint_smoke_training(tmp_path):
                      heads=1, compute_dtype="float32")
     spec = BASELINE_SPECS["wpformer"]
     cfg = Config(train=TrainConfig(
-        batch_size=8, num_epochs=1, scan_epochs=False,
+        batch_size=8, num_epochs=3, scan_epochs=False,
         optim=OptimConfig(lr=1e-3, kind=spec["kind"],
-                          schedule=spec["schedule"], decay_start=1,
-                          decay_end=2)),
+                          schedule=spec["schedule"], decay_start=10,
+                          decay_end=20)),
         mesh=MeshConfig(num_devices=2))
     res = train_pose_model(mk(32), mk(8), mk(8), cfg,
                            str(tmp_path / "wpformer"), model=model,
                            resume=False, verbose=False,
                            **pam_train_kwargs(spec))
     assert np.isfinite(res.history["train_loss"][-1])
+    # the recipe must actually DESCEND, not just run (VERDICT r4 item 2:
+    # the r4 table row was a train that never got off the floor)
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0], \
+        res.history["train_loss"]
     assert res.predictions.shape[1:] == (15, 2)
 
 

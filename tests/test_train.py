@@ -13,8 +13,27 @@ from wiflow_tpu.core.config import Config, MeshConfig, ModelConfig, OptimConfig,
 from wiflow_tpu.data.dataset import CSIKeypointsDataset
 from wiflow_tpu.data.splits import expand_to_samples, file_level_split
 from wiflow_tpu.data.synthetic import make_preprocessed_dataset
-from wiflow_tpu.train.loop import train_pose_model
+from wiflow_tpu.train.loop import scaled_patience, train_pose_model
 from wiflow_tpu.train.optim import ReduceLROnPlateau
+
+
+def test_scaled_patience_steps_fixed_point():
+    """Steps-aware patience (VERDICT r4 item 5): at the reference
+    recipe's 3937 steps/epoch the steps defaults collapse to exactly the
+    reference's epoch counts; at demo scale they stretch."""
+    o, t = OptimConfig(), TrainConfig()
+    # reference scale: 252k windows / batch 64 = 3937 steps/epoch
+    assert scaled_patience(o.plateau_patience, o.plateau_patience_steps,
+                           3937) == o.plateau_patience == 3
+    assert scaled_patience(t.patience, t.patience_steps, 3937) \
+        == t.patience == 5
+    # the round-4 MM-Fi failure geometry: 46-step epochs
+    assert scaled_patience(3, 3 * 3937, 46) == -(-3 * 3937 // 46) == 257
+    # scaling never SHRINKS the epoch-counted patience
+    assert scaled_patience(3, 10, 3937) == 3
+    # None/0 disables
+    assert scaled_patience(3, None, 46) == 3
+    assert scaled_patience(3, 0, 46) == 3
 
 
 def test_plateau_scheduler_matches_torch():
