@@ -20,6 +20,11 @@
 # (commit c3cebf7) handles the small-epoch geometry — no per-variant
 # patience tuning.
 #
+# NOTE: per-variant run dirs (full/, tcn_plain/, ...) RESUME from
+# latest_checkpoint on re-invocation (kill-safety). If the generator or
+# synth recipe changes (e.g. the P=8 -> P=48 fix,
+# measured/ablations_r05/README.md), clear those dirs first.
+#
 # Usage: bash measured/run_ablations_r05.sh [cpu|tpu]
 set -e
 cd "$(dirname "$0")/.."

@@ -47,6 +47,32 @@ def test_convergence_synth_windows_deterministic():
                            np.asarray(x3, np.float32))
 
 
+def test_convergence_synth_windows_multipath_observable():
+    """Multipath mode (VERDICT r4 item 6): deterministic, finite, and —
+    the r5 P=8 floor lesson — the pose->delay observation must be
+    full-rank (P >= 2*keypoints), else 30-P pose dimensions are
+    invisible to every model and the ablation table pins at the
+    mean-pose floor (measured/ablations_r05/README.md)."""
+    import inspect
+
+    from wiflow_tpu.cli.convergence_demo import synth_windows
+
+    default_paths = inspect.signature(synth_windows).parameters[
+        "n_paths"].default
+    assert default_paths >= 30  # 2 * 15 keypoints
+
+    x1, y1 = synth_windows(64, seed=3, chunk=32, mode="multipath")
+    x2, _ = synth_windows(64, seed=3, chunk=32, mode="multipath")
+    assert x1.shape == (64, 540, 20) and x1.dtype == jnp.bfloat16
+    xf = np.asarray(x1, np.float32)
+    assert np.isfinite(xf).all() and np.isfinite(np.asarray(y1)).all()
+    np.testing.assert_array_equal(xf, np.asarray(x2, np.float32))
+    # wrapped observation: CSI is not an affine function of the pose, so
+    # it must differ from the linear mode on the same seeds
+    xl, _ = synth_windows(64, seed=3, chunk=32, mode="linear")
+    assert not np.allclose(xf, np.asarray(xl, np.float32))
+
+
 def test_run_robustness_mode2_filter_sweep(tmp_path):
     """Mode-2 end-to-end: AWGN corruption + traditional filter cleanup
     (ref HPE-Li/main.py:100-105, traditional_filter/) through the CLI;

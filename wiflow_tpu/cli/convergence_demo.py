@@ -30,7 +30,8 @@ import time
 def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
                   window: int = 20, keypoints: int = 15,
                   chunk: int = 15_000, mix_seed: int = 7,
-                  subject: int = 0, mode: str = "linear"):
+                  subject: int = 0, mode: str = "linear",
+                  n_paths: int = 48):
     """On-device [n, 540, 20] CSI windows + [n, 15, 2] last-frame poses.
 
     Mirrors data/synthetic.py's generative structure: per-window smooth
@@ -54,6 +55,16 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
       of tau_p(t) (the TCN axis).  This is the WiFi-CSI physics the
       reference architecture was designed for (ref README.md:13-27).
 
+      ``n_paths`` must be >= 2*keypoints for the pose to be recoverable
+      AT ALL: the CSI observes kp(t) only through the P-dim projections
+      tau = kp . w_path and dop = vel . u_path, so with P < 30 the
+      orthogonal complement of span(w_path) is invisible to every model
+      — the r5 first-cut table (measured/ablations_r05 at P=8) had all
+      five variants pinned within noise of the mean-pose floor
+      (MPJPE 0.234-0.25 vs floor 0.25) for exactly this reason.  The
+      default P=48 makes kp -> tau injective w.h.p. while keeping the
+      per-subcarrier observation wrapped and many-to-one.
+
     ``subject`` (1..5, 0 = generic) gives each subject a distinct style —
     shifted movement amplitude/frequency distributions and a CSI gain —
     over the SAME shared CSI<->pose physics, so LOSO folds (Setting 2,
@@ -70,7 +81,6 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
     # (everyone moves in the same radio world); only trajectories vary
     kmix = jax.random.key(mix_seed)
     mix = jax.random.normal(kmix, (2 * k2, num_subcarriers), jnp.float32)
-    n_paths = 8
     kp_, ku_, ka_, kph_ = jax.random.split(jax.random.fold_in(kmix, 1), 4)
     # path-delay projections: tau_p ~ N(0, (0.2)^2)-ish over the pose range
     w_path = jax.random.normal(kp_, (k2, n_paths)) / jnp.sqrt(k2)
@@ -104,15 +114,24 @@ def synth_windows(n: int, seed: int, num_subcarriers: int = 540,
             tau = jnp.einsum("mtf,fp->mtp", kp, w_path)    # [m, T, P]
             dop = jnp.einsum("mtf,fp->mtp", 8.0 * vel, u_path)
             gain = a_path[None, None, :] * (1.0 + jnp.tanh(dop))
-            # accumulate per path: a single [m, T, P, C] intermediate
-            # would be gigabytes at chunk scale; P terms of [m, T, C]
-            # fuse into one elementwise loop under XLA
-            csi = 0.05 * jax.random.normal(
-                k5, (m, window, num_subcarriers)) + 1.0
-            for p in range(n_paths):
-                ang = tau[..., p:p + 1] * omega[None, None, :] \
-                    + phi[None, None, p, :]                # [m, T, C]
-                csi = csi + csi_gain * gain[..., p:p + 1] * jnp.cos(ang)
+            # accumulate per path with lax.scan: a single [m, T, P, C]
+            # intermediate would be gigabytes at chunk scale, and a
+            # Python loop would unroll P copies of the body into the jit
+            # (fine at P=8, compile bloat at P=48+)
+            path_scale = csi_gain / (n_paths / 8.0) ** 0.5  # variance-
+            # preserving: CSI std stays what the P=8 recipes were tuned on
+
+            def add_path(csi, xs):
+                tau_p, gain_p, phi_p = xs                  # [m,T],[m,T],[C]
+                ang = tau_p[..., None] * omega[None, None, :] \
+                    + phi_p[None, None, :]                 # [m, T, C]
+                return csi + path_scale * gain_p[..., None] * jnp.cos(ang), None
+
+            csi, _ = jax.lax.scan(
+                add_path,
+                0.05 * jax.random.normal(
+                    k5, (m, window, num_subcarriers)) + 1.0,
+                (jnp.moveaxis(tau, -1, 0), jnp.moveaxis(gain, -1, 0), phi))
         else:
             feats = jnp.concatenate([kp, 5.0 * vel], axis=-1)  # [m, T, 60]
             csi = csi_gain * jnp.einsum("mtf,fc->mtc", feats, mix) \
