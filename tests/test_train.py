@@ -36,6 +36,42 @@ def test_scaled_patience_steps_fixed_point():
     assert scaled_patience(3, 0, 46) == 3
 
 
+def test_shipped_patience_survives_demo_scale_warmup():
+    """VERDICT r4 item 5 pin: replay the round-4 MM-Fi failure geometry
+    (46-step epochs; val MPE stalls near the mean-pose floor through the
+    step-counted BN eval-lag warmup, then improves).  The legacy
+    raw-epoch patience strangles lr to min during the stall — exactly
+    the diagnosed failure (measured/mmfi_r04/summary.md) — while the
+    shipped steps-aware default keeps lr at base so the run can escape
+    once the warmup completes.  The demo-scale measured proof on the
+    real flagship is measured/smallrun_r05/ (TPU, shipped defaults)."""
+    o = OptimConfig()
+    steps_per_epoch = 46
+    patience = scaled_patience(o.plateau_patience,
+                               o.plateau_patience_steps, steps_per_epoch)
+    # warmup lasts ~ the reference's 3-epoch patience in STEPS
+    # (3 * 3937 steps), i.e. ~257 demo-scale epochs of stalled metric
+    warmup_epochs = -(-3 * 3937 // steps_per_epoch)
+    trace = [0.25] * warmup_epochs + [0.25 * 0.9 ** k
+                                      for k in range(1, 21)]
+
+    def run(pat):
+        sched = ReduceLROnPlateau(lr=o.lr, factor=o.plateau_factor,
+                                  patience=pat, threshold=1e-4,
+                                  cooldown=1, min_lr=o.lr * o.min_lr_ratio)
+        lrs = [sched.step(m) for m in trace]
+        return lrs
+
+    legacy = run(o.plateau_patience)          # raw 3-epoch patience
+    shipped = run(patience)                   # steps-aware scaling
+    # legacy: lr strangled to min during the stall, before improvement
+    assert legacy[warmup_epochs - 1] == pytest.approx(
+        o.lr * o.min_lr_ratio), "r4 failure mode should reproduce"
+    # shipped: lr still at base when the metric starts improving
+    assert shipped[warmup_epochs - 1] == pytest.approx(o.lr)
+    assert min(shipped) >= o.lr * o.plateau_factor  # at most one cut ever
+
+
 def test_plateau_scheduler_matches_torch():
     """Drive both schedulers with the same metric trace; lrs must agree."""
     metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.9, 0.5, 0.5, 0.5001, 0.49,
