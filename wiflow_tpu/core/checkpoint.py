@@ -27,7 +27,21 @@ from flax import serialization
 def _to_numpy(tree):
     # only device arrays need materializing; python scalars stay scalars
     # (np.asarray would turn history floats into 0-d ndarrays, which are
-    # unhashable and poison the resumed history)
+    # unhashable and poison the resumed history).
+    #
+    # Issue ALL device->host copies asynchronously FIRST (what
+    # jax.device_get does): a synchronous per-leaf np.asarray costs one
+    # device round trip per leaf, and a full resume bundle has ~1000
+    # leaves (params + BN stats + Adam moments + best_variables) — on a
+    # remote/tunneled TPU that latency, not bandwidth, dominated the
+    # per-epoch wall clock of small-epoch demo runs (~12 s/epoch vs
+    # 0.2 s of compute).  The async sweep pipelines the transfers.
+    for x in jax.tree.leaves(tree):
+        if isinstance(x, jax.Array):
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
     return jax.tree.map(
         lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
